@@ -1,0 +1,91 @@
+"""Pipeline configuration — the graft of abs-log's ``config.py`` extension
+surface (SURVEY.md §2 X1: log_pattern regex, abs_special abstraction
+overrides, exclusions, sink endpoint, limits).
+
+Everything the reference exposed as module globals is a declared dataclass
+here; the parse pattern and abstraction rules are the user-extension points.
+All regexes are RE2-compatible (pyarrow.compute and DuckDB both run RE2, so
+oracle SQL mirrors behave identically — verified empirically, see
+tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+# The grok-style parse pattern applied to every turn's ``text`` column
+# (reference: nginx ``log_format`` regex in config.py + re.match in
+# log_analyse.py, SURVEY.md §2 M1/M2). Named groups become columns.
+# RE2 subset only: no lookaround, no backreferences.
+DEFAULT_PARSE_PATTERN = (
+    r"(?P<verb>GET|POST|CALL|EXEC) "
+    r"(?P<path>/[^\s?]*)"
+    r"(?:\?(?P<args>[^\s]*))?"
+    r" status=(?P<status>\d{3}) took=(?P<latency_ms>\d+)ms"
+)
+
+# Path-segment abstraction (reference: common.py text_abstract(), SURVEY.md
+# §2 M4): an all-digit segment, or a long (>=8) hex-ish segment, becomes
+# ``*``.  RE2 has no lookahead, and non-overlapping matches consume the
+# trailing ``/`` — so adjacent variable segments (``/1/2/``) need a second
+# pass to reach the fixpoint.  Two passes suffice for any segment count
+# (pass 1 rewrites odd-position matches, pass 2 the ones in between); the
+# per-segment-split oracle in abslog_ray.oracle defines the semantics and
+# tests assert the two-pass kernel equals it.
+DEFAULT_SEGMENT_RULE = (r"/(\d+|[0-9a-f]{8,})(/|$)", r"/*\2", 2)
+
+# Query-arg abstraction (reference: k1=v1&k2=v2 -> k1=?&k2=?, key order
+# preserved as seen; SURVEY.md §2 M5).
+DEFAULT_ARGS_RULE = (r"=[^&]*", r"=?")
+
+DEFAULT_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+@dataclass
+class PipelineConfig:
+    """All knobs for one pipeline run (EP1) and its query layer (EP2)."""
+
+    # --- parse / abstraction (X1/X2 extension surface) ---
+    parse_pattern: str = DEFAULT_PARSE_PATTERN
+    # ordered list of (regex, replacement, n_passes) applied to `path`
+    abstraction_rules: tuple = (DEFAULT_SEGMENT_RULE,)
+    args_rule: tuple = DEFAULT_ARGS_RULE
+    # optional row-exclusion predicate config (reference's excluded ips/uris,
+    # SURVEY.md §2 M7): regex on text; matching rows counted, not silently
+    # dropped.
+    exclude_text_regex: Optional[str] = None
+
+    # --- aggregation ---
+    quantiles: tuple = DEFAULT_QUANTILES
+    # exact quantiles carry per-key value lists through the combine (the
+    # reference computes exact within-minute quartiles); the sketch path
+    # uses a fixed log-spaced histogram for bounded memory at 10^12 scale.
+    exact_quantiles: bool = True
+    # buckets for the bucket-hashed final merge of the two-phase aggregate
+    # (the "salt" S of SURVEY.md §4.2: work is spread over agg_buckets
+    # reducers regardless of key skew because phase A pre-combines per batch)
+    agg_buckets: int = 64
+    # buckets for the per-conversation gap shuffle (each bucket holds many
+    # whole conversations; vectorized lag inside the bucket)
+    gap_buckets: int = 64
+
+    # --- stage sizing ---
+    parse_batch_size: Optional[int] = None  # None = one batch per block
+    enrich_batch_size: int = 32768
+    enrich_concurrency: tuple = (2, 8)  # actor-pool autoscaling (min, max)
+
+    # --- sinks / checkpoint ---
+    sink_root: Optional[str] = None        # routed rows (sink A) + summaries (sink B)
+    checkpoint_dir: Optional[str] = None   # manifest location
+    chunk_files: int = 64                  # input fragments per resumable chunk
+    min_rows_per_file: int = 500_000
+
+    # --- lookups (broadcast small side, SURVEY.md §2 T1/J1) ---
+    tool_lookup: dict = field(default_factory=dict)   # tool -> tool_cat
+    role_lookup: dict = field(default_factory=dict)   # role -> sink name
+
+    # conversations are assumed bounded (FIXTURES.md clips at 1000 turns);
+    # a conversation longer than this raises in the gap stage rather than
+    # silently blowing a bucket's memory (SURVEY.md §4.2 giant-conv guard).
+    max_conv_turns: int = 100_000

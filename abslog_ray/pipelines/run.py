@@ -1,0 +1,129 @@
+"""EP1 — the collector pipeline (SURVEY.md §3.4; reference: abs-log's
+cron-driven ``log_analyse.py``: read new log lines → regex parse → abstract
+→ accumulate per-minute nested dicts → bulk-write minute documents to Mongo
+→ persist offsets).
+
+Graft shape (one streaming Ray Data pipeline per resumable chunk):
+
+    read_parquet(chunk fragments, pruned columns)
+      → map_batches(parse)              stateless tasks, zero-copy Arrow
+      → map_batches(Enricher)           actor pool (compiled rules + lookups)
+      → [+ minute_str] write_parquet(routed, partition_cols=[role, minute_str])
+    read_parquet(routed chunk, pruned — text stays on disk)
+      → with_gaps                       shuffle 1: conv bucket hash
+      → summarize                       shuffle 2: two-phase salted aggregate
+      → write_parquet(summaries/chunk)
+      → minute_totals → write_parquet(minute_totals/chunk)
+    manifest.commit(chunk)
+
+The routed sink doubles as the materialization boundary: the expensive
+parse+enrich runs once, and the aggregate pass re-reads only the narrow
+columns it needs (conv_id, turn_idx, ts, minute, role, pattern, args_abs,
+status, bytes, parsed) — ``text`` never enters a shuffle (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from abslog_ray.config import PipelineConfig
+from abslog_ray.functions.parse import make_parse_fn
+from abslog_ray.sources.transcripts import list_fragments, read_transcripts
+from abslog_ray.stages.aggregate import minute_totals, summarize
+from abslog_ray.stages.enrich import Enricher
+from abslog_ray.stages.gaps import with_gaps
+from abslog_ray.state.manifest import Manifest
+
+# reference homage: abs-log keys minute documents by yymmddHHMM strings
+MINUTE_FMT = "%y%m%d%H%M"
+
+AGG_COLUMNS = ["conv_id", "turn_idx", "role", "ts", "minute",
+               "pattern", "args_abs", "status", "bytes", "parsed"]
+
+
+def add_minute_str(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "minute_str", pc.strftime(batch["minute"], format=MINUTE_FMT))
+
+
+def build_enriched(ds, cfg: PipelineConfig):
+    """parse (stateless tasks) + enrich (actor pool)."""
+    ds = ds.map_batches(make_parse_fn(cfg.parse_pattern),
+                        batch_format="pyarrow",
+                        batch_size=cfg.parse_batch_size,
+                        zero_copy_batch=True)
+    ds = ds.map_batches(
+        Enricher,
+        batch_format="pyarrow",
+        batch_size=cfg.enrich_batch_size,
+        concurrency=cfg.enrich_concurrency,
+        fn_constructor_args=(cfg.abstraction_rules, cfg.args_rule,
+                             cfg.tool_lookup, cfg.role_lookup),
+    )
+    return ds
+
+
+def build_summary(ds_enriched, cfg: PipelineConfig):
+    """gap shuffle + two-phase aggregate over an enriched Dataset."""
+    keep = [c for c in AGG_COLUMNS if c in ds_enriched.schema().names]
+    ds = ds_enriched.select_columns(keep)
+    ds = with_gaps(ds, cfg)
+    return summarize(ds, cfg)
+
+
+def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
+    """Full resumable EP1 over a directory (or list) of Parquet fragments.
+    Returns manifest metrics."""
+    assert cfg.sink_root, "cfg.sink_root required"
+    ckpt = cfg.checkpoint_dir or os.path.join(cfg.sink_root, "_checkpoint")
+    manifest = Manifest.at(ckpt)
+
+    files = (list_fragments(input_path)
+             if isinstance(input_path, str) else list(input_path))
+    chunks = [files[i:i + cfg.chunk_files]
+              for i in range(0, len(files), cfg.chunk_files)]
+
+    for ci, chunk_files in enumerate(chunks):
+        chunk_id = f"{ci:06d}"
+        if manifest.done(chunk_id):
+            continue
+        t0 = time.time()
+        routed_dir = os.path.join(cfg.sink_root, "routed", f"chunk={chunk_id}")
+        summary_dir = os.path.join(cfg.sink_root, "summaries",
+                                   f"chunk={chunk_id}")
+        totals_dir = os.path.join(cfg.sink_root, "minute_totals",
+                                  f"chunk={chunk_id}")
+        # partially-written chunk from a crashed run: redo from scratch
+        for d in (routed_dir, summary_dir, totals_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+        ds = read_transcripts(chunk_files)
+        enriched = build_enriched(ds, cfg).map_batches(
+            add_minute_str, batch_format="pyarrow")
+        enriched.write_parquet(
+            routed_dir, partition_cols=["role", "minute_str"],
+            min_rows_per_file=cfg.min_rows_per_file)
+
+        back = ray.data.read_parquet(routed_dir, columns=AGG_COLUMNS)
+        summary = build_summary(back, cfg)
+        summary.write_parquet(summary_dir,
+                              min_rows_per_file=cfg.min_rows_per_file)
+        totals = minute_totals(
+            ray.data.read_parquet(
+                routed_dir, columns=["role", "minute", "parsed", "bytes"]))
+        totals.write_parquet(totals_dir,
+                             min_rows_per_file=cfg.min_rows_per_file)
+
+        manifest.commit(chunk_id, chunk_files, {
+            "wall_s": round(time.time() - t0, 3),
+            "sinks": {"routed": routed_dir, "summaries": summary_dir,
+                      "minute_totals": totals_dir},
+        })
+    return manifest.metrics()

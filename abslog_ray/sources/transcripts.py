@@ -1,0 +1,122 @@
+"""Transcript sources (SURVEY.md §2 S1/S2/S5).
+
+Reference: abs-log incrementally tails per-site nginx access logs (seek to a
+stored byte offset).  The graft's unit of input is a Parquet fragment; the
+incremental/tail behavior lives in the chunked resume loop
+(abslog_ray.pipelines.run + state.manifest), so the source layer is plain
+``ray.data.read_parquet`` with column pruning.
+
+Also provides ``transcripts_from_events``: a DETERMINISTIC, SQL-expressible
+derivation of a transcript table from the driver's ``events`` table
+(event_id, ts, user_id, event_type, value, props) — used by the driver
+contract so the flagship transcript pipeline can be cross-checked by a
+DuckDB oracle on the same inputs (FIXTURES.md §5).  The mirror SQL lives in
+``__ray_entry__.oracle_sql``; both must stay in lockstep:
+
+    conv_id  = 'c' || lpad(user_id, 8, '0')
+    turn_idx = row_number() over (partition by user_id
+                                  order by ts, event_id) - 1
+    role     = ['user','assistant','tool','system'][(event_id // 4) % 4]
+    tool     = event_type
+    ts       = ts
+    text     = event_id % 10 == 0  ->  'note ' || event_type || ' free text'
+               else 'evt ' || VERB[event_id%4] || ' /api/' || event_type ||
+                    '/' || event_id || ARGS || ' status=' ||
+                    (500 if event_type='error' else 200) ||
+                    ' took=' || (event_id % 997) || 'ms'
+    ARGS     = event_id%3==0 -> ''        | 1 -> '?uid=' || user_id
+               | 2 -> '?uid=' || user_id || '&k=' || (event_id % 7)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+_ROLES = np.array(["user", "assistant", "tool", "system"])
+_VERBS = np.array(["GET", "POST", "CALL", "EXEC"])
+
+
+def list_fragments(path: str) -> list:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def read_transcripts(paths, columns=None, **kwargs):
+    return ray.data.read_parquet(
+        paths, columns=columns or TRANSCRIPT_COLUMNS, **kwargs)
+
+
+def _events_to_transcript_batch(df: pd.DataFrame) -> pd.DataFrame:
+    eid = df["event_id"].to_numpy()
+    uid = df["user_id"].to_numpy()
+    etype = df["event_type"].astype(str)
+
+    verb = _VERBS[eid % 4]
+    status = np.where(etype.to_numpy() == "error", "500", "200")
+    lat = (eid % 997).astype("U4")
+
+    args = np.where(
+        eid % 3 == 0, "",
+        np.where(
+            eid % 3 == 1,
+            np.char.add("?uid=", uid.astype("U20")),
+            np.char.add(
+                np.char.add(np.char.add("?uid=", uid.astype("U20")), "&k="),
+                (eid % 7).astype("U2"))))
+
+    span = pd.Series(np.char.add("evt ", verb)) \
+        .str.cat(etype.str.cat(eid.astype("U20"), sep="/"), sep=" /api/") \
+        .str.cat(pd.Series(args)) \
+        .str.cat(pd.Series(status), sep=" status=") \
+        .str.cat(pd.Series(lat), sep=" took=") + "ms"
+    note = "note " + etype + " free text"
+    text = span.where(pd.Series(eid % 10 != 0), note)
+
+    out = pd.DataFrame({
+        "conv_id": pd.Series(np.char.add("c", np.char.zfill(uid.astype("U20"), 8))),
+        "user_id": df["user_id"].to_numpy(),   # kept for turn_idx assignment
+        "event_id": eid,
+        "ts_order": df["ts"].to_numpy(),
+        "role": pd.Series(_ROLES[(eid // 4) % 4]),
+        "text": text.to_numpy(),
+        "tool": etype.to_numpy(),
+        "ts": df["ts"].to_numpy(),
+    })
+    return out
+
+
+def _assign_turn_idx(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["conv_id", "ts_order", "event_id"],
+                        kind="mergesort", ignore_index=True)
+    df["turn_idx"] = df.groupby("conv_id").cumcount().astype(np.int32)
+    return df[TRANSCRIPT_COLUMNS]
+
+
+def transcripts_from_events(events_path: str, n_buckets: int = 16):
+    """events parquet -> transcript-shaped Dataset (deterministic, the
+    SQL-mirrorable derivation documented above).  The turn_idx row-number
+    needs per-user ordering, done with the same bucket-hash group pattern
+    as the gap stage."""
+    from abslog_ray.stages.gaps import add_bucket_fn
+
+    ds = ray.data.read_parquet(
+        events_path, columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(_events_to_transcript_batch, batch_format="pandas")
+    ds = ds.map_batches(add_bucket_fn("conv_id", n_buckets),
+                        batch_format="pyarrow")
+    from abslog_ray.stages.gaps import BUCKET_COL
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _assign_turn_idx(df.drop(columns=[BUCKET_COL]))
+
+    return ds.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")

@@ -1,0 +1,314 @@
+"""Two-phase (partial → final) per-minute pattern aggregation — the core of
+the engine (SURVEY.md §2 A1/A2/A3/A4/A5/A7; reference: abs-log's in-memory
+nested dict ``minute → uri_abs → args_abs → {hits, bytes, time, samples}``
+plus ``get_quartile()``, flushed per cron run).
+
+Scale design (SURVEY.md §4.2): a bare ``groupby(keys).aggregate(...)``
+shuffles every row.  Here phase A pre-combines inside ``map_batches`` — one
+output row per (key, batch), carrying exact sums plus mergeable state:
+the per-key gap-value list (exact-quantile path) and the per-key distinct
+conv-id list (exact distinct-count path).  The shuffle then moves only these
+pre-reduced partials.  Phase B hash-buckets the keys (the "salt": work
+spreads over ``agg_buckets`` reducers regardless of key skew because every
+reducer handles many keys and each key's partials are already tiny) and
+finalizes each bucket with fully vectorized numpy segment arithmetic — no
+per-key Python.
+
+Exactness: gaps are int64 microseconds end-to-end; quantiles use the pinned
+discrete convention (abslog_ray.quantiles, == DuckDB quantile_disc), so
+engine == pandas oracle == DuckDB SQL bit-for-bit.  For 10^12-scale hot keys
+where exact value lists are too big, ``exact_quantiles=False`` switches the
+mergeable state to a fixed log-spaced histogram (bounded memory, approximate
+quantiles) — same two-phase shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from abslog_ray.quantiles import quantile_disc_index
+
+SUMMARY_KEYS = ["role", "minute", "pattern", "args_abs"]
+KEY_BUCKET = "__kbucket"
+
+# --- histogram sketch (approximate path for 10^12-scale hot keys) ---
+# log-spaced bucket edges covering 1µs .. ~30 days, ~0.7% relative error
+_HIST_EDGES = np.unique(
+    np.round(np.logspace(0, np.log10(30 * 86400 * 1e6), 2048)).astype(np.int64)
+)
+
+
+def _empty_partial_schema(exact: bool) -> pa.Schema:
+    state = (pa.list_(pa.int64()) if exact
+             else pa.list_(pa.int32()))
+    return pa.schema([
+        ("role", pa.string()), ("minute", pa.timestamp("us")),
+        ("pattern", pa.string()), ("args_abs", pa.string()),
+        ("hits", pa.int64()), ("err_hits", pa.int64()),
+        ("bytes_sum", pa.int64()), ("gap_sum", pa.int64()),
+        ("gap_count", pa.int64()), ("gap_state", state),
+        ("convs", pa.list_(pa.string())),
+    ])
+
+
+def make_partial_summary_fn(exact_quantiles: bool = True):
+    """Phase A: one pre-combined partial row per key per batch."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["parsed"], True)) \
+            if "parsed" in batch.column_names else batch
+        if t.num_rows == 0:
+            return _empty_partial_schema(exact_quantiles).empty_table()
+
+        keys = pd.MultiIndex.from_arrays([
+            t["role"].to_pandas(), t["minute"].to_pandas(),
+            t["pattern"].to_pandas(), t["args_abs"].to_pandas(),
+        ], names=SUMMARY_KEYS)
+        codes, uniq = keys.factorize(sort=False)
+        G = len(uniq)
+
+        status = t["status"].to_numpy(zero_copy_only=False)
+        nbytes = t["bytes"].to_numpy(zero_copy_only=False)
+        hits = np.bincount(codes, minlength=G).astype(np.int64)
+        err = np.bincount(
+            codes, weights=(status >= 400).astype(np.float64), minlength=G
+        ).astype(np.int64)
+        bsum = np.bincount(
+            codes, weights=nbytes.astype(np.float64), minlength=G
+        ).astype(np.int64)
+
+        gap_col = t["gap_us"]
+        if isinstance(gap_col, pa.ChunkedArray):
+            gap_col = gap_col.combine_chunks()
+        gmask = gap_col.is_valid().to_numpy(zero_copy_only=False)
+        gvals = np.asarray(gap_col.fill_null(0))[gmask]
+        gcodes = codes[gmask]
+        gap_count = np.bincount(gcodes, minlength=G).astype(np.int64)
+        gap_sum = np.bincount(
+            gcodes, weights=gvals.astype(np.float64), minlength=G
+        ).astype(np.int64)
+
+        if exact_quantiles:
+            order = np.argsort(gcodes, kind="stable")
+            state_vals = pa.array(gvals[order], pa.int64())
+        else:
+            # per-(key, hist-bucket) counts, encoded as a dense i32 vector
+            hb = np.searchsorted(_HIST_EDGES, gvals, side="right")
+            flat = np.zeros(G * (len(_HIST_EDGES) + 1), dtype=np.int32)
+            np.add.at(flat, gcodes * (len(_HIST_EDGES) + 1) + hb, 1)
+            state_vals = pa.array(flat, pa.int32())
+        if exact_quantiles:
+            offs = np.zeros(G + 1, dtype=np.int32)
+            np.cumsum(gap_count, out=offs[1:])
+            gap_state = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), state_vals)
+        else:
+            offs = np.arange(G + 1, dtype=np.int32) * (len(_HIST_EDGES) + 1)
+            gap_state = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), state_vals)
+
+        ccodes, cuniq = pd.factorize(
+            pd.Series(t["conv_id"].to_pandas()), sort=False)
+        pair = np.unique(codes.astype(np.int64) * len(cuniq) + ccodes)
+        pcode = pair // len(cuniq)
+        pconv = pair % len(cuniq)
+        conv_count = np.bincount(pcode, minlength=G).astype(np.int32)
+        coffs = np.zeros(G + 1, dtype=np.int32)
+        np.cumsum(conv_count, out=coffs[1:])
+        convs = pa.ListArray.from_arrays(
+            pa.array(coffs, pa.int32()),
+            pa.array(cuniq.take(pconv), pa.string()))
+
+        return pa.table({
+            "role": pa.array(uniq.get_level_values(0), pa.string()),
+            "minute": pa.array(uniq.get_level_values(1), pa.timestamp("us")),
+            "pattern": pa.array(uniq.get_level_values(2), pa.string()),
+            "args_abs": pa.array(uniq.get_level_values(3), pa.string()),
+            "hits": pa.array(hits), "err_hits": pa.array(err),
+            "bytes_sum": pa.array(bsum), "gap_sum": pa.array(gap_sum),
+            "gap_count": pa.array(gap_count),
+            "gap_state": gap_state, "convs": convs,
+        })
+
+    return fn
+
+
+def add_key_bucket_fn(n_buckets: int, keys=None):
+    """Stable combined-column hash bucket for phase B routing."""
+    keys = keys or SUMMARY_KEYS
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy() % n_buckets
+        return batch.append_column(KEY_BUCKET, pa.array(h.astype(np.int64)))
+
+    return fn
+
+
+def _list_flatten_with_parents(col) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat, parents
+
+
+def make_finalize_summary_fn(quantiles, exact_quantiles: bool = True):
+    """Phase B: merge one bucket of partial rows; vectorized per-segment
+    quantile/distinct computation, no per-key Python."""
+    qs = tuple(quantiles)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if KEY_BUCKET in t.column_names:
+            t = t.drop_columns([KEY_BUCKET])
+        keys = pd.MultiIndex.from_arrays([
+            t["role"].to_pandas(), t["minute"].to_pandas(),
+            t["pattern"].to_pandas(), t["args_abs"].to_pandas(),
+        ], names=SUMMARY_KEYS)
+        codes, uniq = keys.factorize(sort=False)
+        G = len(uniq)
+
+        def bsum(col):
+            return np.bincount(
+                codes,
+                weights=t[col].to_numpy(zero_copy_only=False).astype(np.float64),
+                minlength=G).astype(np.int64)
+
+        hits, err, byts = bsum("hits"), bsum("err_hits"), bsum("bytes_sum")
+        gap_sum, gap_count = bsum("gap_sum"), bsum("gap_count")
+
+        # --- quantiles over merged gap state ---
+        qcols = {}
+        if exact_quantiles:
+            flat, parents = _list_flatten_with_parents(t["gap_state"])
+            rcodes = codes[parents]
+            order = np.lexsort((flat, rcodes))
+            svals = flat[order]
+            seg = np.zeros(G + 1, dtype=np.int64)
+            np.cumsum(np.bincount(rcodes, minlength=G), out=seg[1:])
+            n = gap_count
+            for q in qs:
+                qi = np.ceil(q * n - 1e-9).astype(np.int64) - 1
+                np.clip(qi, 0, None, out=qi)
+                idx = seg[:-1] + qi
+                if len(svals):
+                    gathered = svals[np.minimum(idx, len(svals) - 1)]
+                else:
+                    gathered = np.zeros(G, dtype=np.int64)
+                qcols[f"gap_p{int(q*100)}"] = pa.array(
+                    np.where(n > 0, gathered, 0), pa.int64(), mask=(n == 0))
+        else:
+            flat, parents = _list_flatten_with_parents(t["gap_state"])
+            W = len(_HIST_EDGES) + 1
+            hist = np.zeros((G, W), dtype=np.int64)
+            # each partial row's state is a dense W-vector
+            rcodes = np.repeat(codes, W)
+            np.add.at(hist, (rcodes, np.tile(np.arange(W), len(codes))), flat)
+            cum = hist.cumsum(axis=1)
+            n = gap_count
+            centers = np.concatenate([[_HIST_EDGES[0]],
+                                      _HIST_EDGES.astype(np.int64)])
+            for q in qs:
+                rank = np.ceil(q * n - 1e-9).astype(np.int64)
+                bidx = np.array([
+                    np.searchsorted(cum[i], rank[i], side="left")
+                    if n[i] > 0 else 0 for i in range(G)])
+                np.clip(bidx, 0, W - 1, out=bidx)
+                qcols[f"gap_p{int(q*100)}"] = pa.array(
+                    centers[bidx], pa.int64(), mask=(n == 0))
+
+        # --- exact distinct conv count over merged sets ---
+        cflat, cparents = _list_flatten_with_parents(t["convs"])
+        ccode, _cu = pd.factorize(pd.Series(cflat), sort=False)
+        rc = codes[cparents]
+        pair = np.unique(rc.astype(np.int64) * (len(_cu) or 1) + ccode)
+        uniq_convs = np.bincount(
+            pair // (len(_cu) or 1), minlength=G).astype(np.int64)
+
+        return pa.table({
+            "role": pa.array(uniq.get_level_values(0), pa.string()),
+            "minute": pa.array(uniq.get_level_values(1), pa.timestamp("us")),
+            "pattern": pa.array(uniq.get_level_values(2), pa.string()),
+            "args_abs": pa.array(uniq.get_level_values(3), pa.string()),
+            "hits": pa.array(hits),
+            "uniq_convs": pa.array(uniq_convs),
+            "err_hits": pa.array(err),
+            "bytes_sum": pa.array(byts),
+            "gap_sum": pa.array(gap_sum, pa.int64(), mask=(gap_count == 0)),
+            "gap_count": pa.array(gap_count),
+            **qcols,
+        })
+
+    return fn
+
+
+def summarize(ds, cfg):
+    """Dataset (parsed+enriched+gapped) -> per-key summary Dataset."""
+    parts = ds.map_batches(
+        make_partial_summary_fn(cfg.exact_quantiles),
+        batch_format="pyarrow", batch_size=cfg.parse_batch_size)
+    parts = parts.map_batches(add_key_bucket_fn(cfg.agg_buckets),
+                              batch_format="pyarrow")
+    return parts.groupby(KEY_BUCKET).map_groups(
+        make_finalize_summary_fn(cfg.quantiles, cfg.exact_quantiles),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# minute totals (A4/M6): per (role, minute) over ALL rows — pre-combined
+# partials then a tiny native groupby-aggregate.
+# ---------------------------------------------------------------------------
+
+def _partial_totals(batch: pa.Table) -> pa.Table:
+    keys = pd.MultiIndex.from_arrays(
+        [batch["role"].to_pandas(), batch["minute"].to_pandas()],
+        names=["role", "minute"])
+    codes, uniq = keys.factorize(sort=False)
+    G = len(uniq)
+    parsed = batch["parsed"].to_numpy(zero_copy_only=False)
+    nbytes = batch["bytes"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "role": pa.array(uniq.get_level_values(0), pa.string()),
+        "minute": pa.array(uniq.get_level_values(1), pa.timestamp("us")),
+        "total_hits": pa.array(np.bincount(codes, minlength=G).astype(np.int64)),
+        "invalid_hits": pa.array(np.bincount(
+            codes, weights=(~parsed).astype(np.float64),
+            minlength=G).astype(np.int64)),
+        "total_bytes": pa.array(np.bincount(
+            codes, weights=nbytes.astype(np.float64),
+            minlength=G).astype(np.int64)),
+    })
+
+
+def minute_totals(ds):
+    from ray.data.aggregate import Sum
+    parts = ds.map_batches(_partial_totals, batch_format="pyarrow")
+    return parts.groupby(["role", "minute"]).aggregate(
+        Sum("total_hits", alias_name="total_hits"),
+        Sum("invalid_hits", alias_name="invalid_hits"),
+        Sum("total_bytes", alias_name="total_bytes"),
+    )
+
+
+def route_counts(ds):
+    """Per (role, minute) routed-row counts (every row routed, M6)."""
+    from ray.data.aggregate import Sum
+
+    def part(batch: pa.Table) -> pa.Table:
+        keys = pd.MultiIndex.from_arrays(
+            [batch["role"].to_pandas(), batch["minute"].to_pandas()],
+            names=["role", "minute"])
+        codes, uniq = keys.factorize(sort=False)
+        return pa.table({
+            "role": pa.array(uniq.get_level_values(0), pa.string()),
+            "minute": pa.array(uniq.get_level_values(1), pa.timestamp("us")),
+            "routed_rows": pa.array(
+                np.bincount(codes, minlength=len(uniq)).astype(np.int64)),
+        })
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+              .groupby(["role", "minute"])
+              .aggregate(Sum("routed_rows", alias_name="routed_rows")))

@@ -1,0 +1,89 @@
+"""Pin the semantic conventions (SURVEY.md §5.2: every (med)-confidence
+reference behavior is pinned HERE, before any distributed code relies on it).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from abslog_ray.config import (
+    DEFAULT_ARGS_RULE,
+    DEFAULT_SEGMENT_RULE,
+)
+from abslog_ray.functions.abstract import abstract_args, abstract_path
+from abslog_ray.oracle import abstract_args_one, abstract_path_one
+from abslog_ray.quantiles import quantile_disc, quantiles_disc
+
+
+class TestQuantileConvention:
+    """Engine quantile == DuckDB quantile_disc, bit-exact, many shapes."""
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 13, 20, 40, 100, 997])
+    def test_matches_duckdb(self, n):
+        rng = np.random.default_rng(n)
+        vals = rng.integers(0, 10**9, n).astype(np.int64)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"x": vals}))
+        for q in (0.25, 0.5, 0.75, 0.95):
+            d = con.execute(
+                f"select quantile_disc(x, {q}) from t").fetchone()[0]
+            assert quantile_disc(np.sort(vals), q) == d, (n, q)
+
+    def test_empty(self):
+        assert quantiles_disc(np.array([], dtype=np.int64),
+                              (0.25, 0.5)) == [None, None]
+
+
+class TestPathAbstraction:
+    """Two-pass RE2 kernel == per-segment-split oracle == DuckDB SQL."""
+
+    CASES = [
+        "/api/user/48213/profile", "/a/1/2/3", "/a/1/2/3/4/5",
+        "/x/deadbeef99aa/y", "/plain/path", "/v2/9/", "/", "",
+        "/123", "/123/", "/abc123/45", "/ff00ff00", "/ff00ff0",
+        "/0/0/0/0/0/0", "/seg/12ab34cd56/x",
+    ]
+
+    def test_kernel_equals_oracle(self):
+        arr = pa.array(self.CASES)
+        got = abstract_path(arr, (DEFAULT_SEGMENT_RULE,)).to_pylist()
+        want = [abstract_path_one(s) for s in self.CASES]
+        assert got == want
+
+    def test_kernel_equals_duckdb(self):
+        pat, repl, passes = DEFAULT_SEGMENT_RULE
+        con = duckdb.connect()
+        got = abstract_path(pa.array(self.CASES),
+                            (DEFAULT_SEGMENT_RULE,)).to_pylist()
+        for s, g in zip(self.CASES, got):
+            expr = "?"
+            for _ in range(passes):
+                expr = f"regexp_replace({expr}, '{pat}', '/*\\2', 'g')"
+            d = con.execute(f"select {expr}", [s]).fetchone()[0]
+            assert d == g, s
+
+    def test_random_paths_fixpoint(self):
+        """Two passes reach the per-segment fixpoint on random paths."""
+        rng = np.random.default_rng(0)
+        segs = ["abc", "123", "0", "deadbeef00", "x1", "9" * 12, "items"]
+        paths = ["/" + "/".join(rng.choice(segs, rng.integers(1, 7)))
+                 for _ in range(500)]
+        got = abstract_path(pa.array(paths), (DEFAULT_SEGMENT_RULE,)).to_pylist()
+        want = [abstract_path_one(p) for p in paths]
+        assert got == want
+
+
+class TestArgsAbstraction:
+    CASES = ["a=1&b=xy", "", "k=", "a=1&a=2", "x=%20%7b&y=1",
+             "novalue", "a==b&c=d"]
+
+    def test_kernel_equals_oracle(self):
+        got = abstract_args(pa.array(self.CASES), DEFAULT_ARGS_RULE).to_pylist()
+        want = [abstract_args_one(s) for s in self.CASES]
+        assert got == want
+
+    def test_null_passthrough(self):
+        got = abstract_args(pa.array([None, "a=1"]), DEFAULT_ARGS_RULE)
+        assert got.to_pylist() == [None, "a=?"]

@@ -1,0 +1,97 @@
+"""Engine vs oracle equality (SURVEY.md §5.2 checks #1-#4):
+
+1. per-turn text equality under stable (conv_id, turn_idx) ordering
+2. exact per-sink aggregate counts
+3. routed-row equality (order-insensitive)
+4. exact quantile equality
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from abslog_ray import oracle
+from abslog_ray.pipelines.run import build_enriched, build_summary
+from abslog_ray.stages.aggregate import minute_totals, route_counts
+from abslog_ray.stages.gaps import with_gaps
+
+from tests.util import assert_frames_equal
+
+ROUTED_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+               "verb", "path", "args", "status", "latency_ms", "parsed",
+               "minute", "bytes", "pattern", "args_abs", "tool_cat", "sink"]
+
+
+@pytest.fixture(scope="module")
+def enriched(t1_path, default_cfg):
+    ds = ray.data.read_parquet(t1_path)
+    return build_enriched(ds, default_cfg).materialize()
+
+
+@pytest.fixture(scope="module")
+def oracle_enriched(t1_df, default_cfg):
+    return oracle.oracle_enrich(oracle.oracle_parse(t1_df, default_cfg),
+                                default_cfg)
+
+
+def test_text_equality_under_ordering(enriched, t1_df):
+    """Check #1: routed text byte-equal to input under stable ordering."""
+    got = enriched.select_columns(["conv_id", "turn_idx", "text"]).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    want = t1_df[["conv_id", "turn_idx", "text"]].sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_routed_row_equality(enriched, oracle_enriched):
+    """Check #3: full routed table equals oracle (order-insensitive)."""
+    got = enriched.to_pandas()[ROUTED_COLS]
+    want = oracle_enriched[ROUTED_COLS]
+    assert_frames_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def test_route_counts(enriched, oracle_enriched):
+    """Check #2 (routed counts per (role, minute))."""
+    got = route_counts(enriched).to_pandas()
+    want = oracle.oracle_route_counts(oracle_enriched)
+    assert_frames_equal(got, want, ["role", "minute"])
+
+
+def test_minute_totals(enriched, oracle_enriched):
+    got = minute_totals(enriched).to_pandas()
+    want = oracle.oracle_minute_totals(oracle_enriched)
+    assert_frames_equal(got, want, ["role", "minute"])
+
+
+def test_gaps(enriched, oracle_enriched, default_cfg):
+    got = with_gaps(enriched, default_cfg).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    want = oracle.oracle_gaps(oracle_enriched).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["gap_us"].astype("Int64"), want["gap_us"].astype("Int64"),
+        check_index=False)
+
+
+def test_summary_exact(enriched, oracle_enriched, default_cfg):
+    """Checks #2/#4: full summary equality incl. exact quantiles."""
+    got = build_summary(enriched, default_cfg).to_pandas()
+    gapped = oracle.oracle_gaps(oracle_enriched)
+    want = oracle.oracle_summary(gapped, default_cfg)
+    assert_frames_equal(got, want,
+                        ["role", "minute", "pattern", "args_abs"])
+
+
+def test_summary_t2_scale(t2_path, default_cfg):
+    """Same equality at t2 (60k rows) — more minutes, more collisions."""
+    ds = ray.data.read_parquet(t2_path)
+    enr = build_enriched(ds, default_cfg)
+    got = build_summary(enr, default_cfg).to_pandas()
+
+    df = ray.data.read_parquet(t2_path).to_pandas()
+    oe = oracle.oracle_enrich(oracle.oracle_parse(df, default_cfg),
+                              default_cfg)
+    want = oracle.oracle_summary(oracle.oracle_gaps(oe), default_cfg)
+    assert_frames_equal(got, want,
+                        ["role", "minute", "pattern", "args_abs"])
