@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the abslog_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship transcript pipeline (parse → enrich → gap shuffle →
+  two-phase per-minute pattern summary) over a deterministic transcript
+  derivation of ``/root/testdata/sf0.001/events.parquet``.
+- ``queries()``: one callable per implemented operator from SURVEY.md §2
+  plus the training-data extensions (dedup / similarity / text analysis).
+- ``oracle_sql()``: DuckDB mirrors.  The transcript family is checkable at
+  value level because the transcript derivation itself is SQL-expressible
+  (see abslog_ray.sources.transcripts).
 """
 
 from __future__ import annotations
@@ -20,25 +20,17 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from abslog_ray.pipelines.queries import q_flagship_summary
+    return q_flagship_summary("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from abslog_ray.pipelines.queries import QUERIES
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from abslog_ray.pipelines.queries import QUERIES
+    return {name: sql for name, (_fn, sql) in QUERIES.items()
+            if sql is not None}

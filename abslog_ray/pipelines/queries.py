@@ -1,0 +1,645 @@
+"""Driver-contract query registry (SURVEY.md §2 ✦ rows → named queries).
+
+Each entry pairs a Ray Data implementation (callable taking ``sf_dir``) with
+an ANSI-SQL mirror DuckDB can run on the driver's pre-registered views
+(events/documents/embeddings/lineitem/...).  The transcript pipeline runs
+over a DETERMINISTIC, SQL-expressible derivation of transcripts from the
+``events`` table (abslog_ray.sources.transcripts.transcripts_from_events),
+so even the flagship parse→enrich→route→aggregate summary has a full
+value-level DuckDB oracle.
+
+Float-determinism policy (driver hashes values):
+- all exact quantities are int64 (counts, byte sums, µs gap sums/quantiles);
+- quantiles use the discrete convention == DuckDB quantile_disc (an actual
+  element, no interpolation → bit-equal);
+- ratios are a SINGLE division of exact integers, rounded to 6 (IEEE
+  division is deterministic → identical doubles both sides);
+- money sums (TPC-H q1) round to 2 — accumulated float error ~1e-6 ≪ 0.005;
+- A6 weighted quantile merges are exposed as exact INTEGER weighted sums
+  (gap_wsum_*) rather than means, to stay bit-exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from abslog_ray.config import (
+    DEFAULT_ARGS_RULE,
+    DEFAULT_PARSE_PATTERN,
+    DEFAULT_SEGMENT_RULE,
+    PipelineConfig,
+)
+from abslog_ray.fixtures import ROLE_SINKS, TOOL_CATS
+from abslog_ray.pipelines.run import build_enriched, build_summary
+from abslog_ray.sources.transcripts import transcripts_from_events
+from abslog_ray.stages.aggregate import minute_totals, route_counts
+from abslog_ray.stages.gaps import with_gaps
+
+
+def _cfg() -> PipelineConfig:
+    return PipelineConfig(tool_lookup=dict(TOOL_CATS),
+                          role_lookup=dict(ROLE_SINKS),
+                          gap_buckets=16, agg_buckets=16)
+
+
+def _events(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+def _tp(sf_dir: str):
+    return transcripts_from_events(_events(sf_dir))
+
+
+def _enriched(sf_dir: str):
+    return build_enriched(_tp(sf_dir), _cfg())
+
+
+# ==========================================================================
+# SQL building blocks (kept in lockstep with the Ray implementations)
+# ==========================================================================
+
+PAT = DEFAULT_PARSE_PATTERN
+SEG = DEFAULT_SEGMENT_RULE[0]
+
+SQL_T = """
+t as (
+  select
+    'c' || lpad(cast(user_id as varchar), 8, '0') as conv_id,
+    cast(row_number() over (partition by user_id
+                            order by ts, event_id) - 1 as int) as turn_idx,
+    ['user','assistant','tool','system'][cast((event_id // 4) % 4 as int) + 1] as role,
+    case when event_id % 10 = 0 then 'note ' || event_type || ' free text'
+    else 'evt ' || ['GET','POST','CALL','EXEC'][cast(event_id % 4 as int) + 1]
+      || ' /api/' || event_type || '/' || cast(event_id as varchar)
+      || case when event_id % 3 = 0 then ''
+              when event_id % 3 = 1 then '?uid=' || cast(user_id as varchar)
+              else '?uid=' || cast(user_id as varchar) || '&k=' || cast(event_id % 7 as varchar) end
+      || ' status=' || case when event_type = 'error' then '500' else '200' end
+      || ' took=' || cast(event_id % 997 as varchar) || 'ms'
+    end as text,
+    event_type as tool,
+    ts
+  from events)
+"""
+
+SQL_F = f"""
+f as (
+  select *,
+    regexp_matches(text, '{PAT}') as parsed,
+    date_trunc('minute', ts) as minute,
+    cast(strlen(text) as bigint) as bytes,
+    case when regexp_matches(text, '{PAT}') then regexp_extract(text, '{PAT}', 1) end as verb,
+    case when regexp_matches(text, '{PAT}') then regexp_extract(text, '{PAT}', 2) end as path,
+    case when regexp_matches(text, '{PAT}') then regexp_extract(text, '{PAT}', 3) end as args,
+    case when regexp_matches(text, '{PAT}') then cast(regexp_extract(text, '{PAT}', 4) as int) end as status,
+    case when regexp_matches(text, '{PAT}') then cast(regexp_extract(text, '{PAT}', 5) as int) end as latency_ms
+  from t)
+"""
+
+SQL_E = f"""
+e as (
+  select *,
+    case when parsed then tool || ':' ||
+      regexp_replace(regexp_replace(path, '{SEG}', '/*\\2', 'g'), '{SEG}', '/*\\2', 'g')
+    end as pattern,
+    case when parsed then regexp_replace(args, '=[^&]*', '=?', 'g') end as args_abs
+  from f)
+"""
+
+SQL_G = """
+g as (
+  select *, epoch_us(ts) - lag(epoch_us(ts)) over (
+      partition by conv_id order by turn_idx) as gap_us
+  from e)
+"""
+
+SQL_SUMMARY = """
+s as (
+  select role, minute, pattern, args_abs,
+    count(*) as hits,
+    cast(count(distinct conv_id) as bigint) as uniq_convs,
+    cast(sum(case when status >= 400 then 1 else 0 end) as bigint) as err_hits,
+    cast(sum(bytes) as bigint) as bytes_sum,
+    cast(sum(gap_us) as bigint) as gap_sum,
+    cast(count(gap_us) as bigint) as gap_count,
+    quantile_disc(gap_us, 0.25) as gap_p25,
+    quantile_disc(gap_us, 0.50) as gap_p50,
+    quantile_disc(gap_us, 0.75) as gap_p75,
+    quantile_disc(gap_us, 0.95) as gap_p95
+  from g where parsed
+  group by role, minute, pattern, args_abs)
+"""
+
+_PRELUDE = "with " + ",".join(
+    x.strip().rstrip(",") for x in (SQL_T, SQL_F, SQL_E, SQL_G, SQL_SUMMARY))
+
+
+# ==========================================================================
+# transcript pipeline family (full DuckDB oracle via the derivation)
+# ==========================================================================
+
+def q_flagship_summary(sf_dir: str):
+    """A1+A2+A3+A5+J3: the per-minute pattern summary (the engine core)."""
+    return build_summary(_enriched(sf_dir), _cfg())
+
+
+SQL_FLAGSHIP = _PRELUDE + " select * from s"
+
+
+def q_parse_fields(sf_dir: str):
+    """M1/M2/M3/M8: per-row parse output."""
+    from abslog_ray.functions.parse import make_parse_fn
+    ds = _tp(sf_dir).map_batches(make_parse_fn(PAT), batch_format="pyarrow")
+    return ds.select_columns(["conv_id", "turn_idx", "verb", "path", "args",
+                              "status", "latency_ms", "parsed", "bytes"])
+
+
+SQL_PARSE_FIELDS = _PRELUDE + """
+select conv_id, turn_idx, verb, path, args, status, latency_ms, parsed, bytes
+from f"""
+
+
+def q_abstraction(sf_dir: str):
+    """M4/M5: per-row pattern + args abstraction."""
+    return _enriched(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "pattern", "args_abs"])
+
+
+SQL_ABSTRACTION = _PRELUDE + """
+select conv_id, turn_idx, pattern, args_abs from e"""
+
+
+def q_gaps(sf_dir: str):
+    """J3: per-turn gap latency proxy."""
+    ds = with_gaps(_tp(sf_dir), _cfg())
+    return ds.select_columns(["conv_id", "turn_idx", "gap_us"])
+
+
+SQL_GAPS = _PRELUDE + " select conv_id, turn_idx, gap_us from g"
+
+
+def q_routed_counts(sf_dir: str):
+    """S3/M6: router fan-out row counts per (role, minute)."""
+    return route_counts(_enriched(sf_dir))
+
+
+SQL_ROUTED_COUNTS = _PRELUDE + """
+select role, minute, count(*) as routed_rows from f group by role, minute"""
+
+
+def q_minute_totals(sf_dir: str):
+    """A4/M6: per-minute totals incl. invalid (unparsed) counts."""
+    return minute_totals(_enriched(sf_dir))
+
+
+SQL_MINUTE_TOTALS = _PRELUDE + """
+select role, minute, count(*) as total_hits,
+  cast(sum(case when parsed then 0 else 1 end) as bigint) as invalid_hits,
+  cast(sum(bytes) as bigint) as total_bytes
+from f group by role, minute"""
+
+
+def _merge_exact(df: pd.DataFrame, by: list) -> pd.DataFrame:
+    """A6 merge with exact integer weighted quantile sums."""
+    g = df.groupby(by, sort=True)
+    out = pd.DataFrame({
+        "hits": g["hits"].sum(),
+        "uniq_convs_ub": g["uniq_convs"].sum(),
+        "err_hits": g["err_hits"].sum(),
+        "bytes_sum": g["bytes_sum"].sum(),
+        "gap_count": g["gap_count"].sum(),
+    })
+    for q in ("gap_p25", "gap_p50", "gap_p75", "gap_p95"):
+        w = df[q].astype("Int64") * df["gap_count"]
+        out[f"gap_wsum_{q[4:]}"] = w.groupby(
+            [df[c] for c in by]).sum(min_count=1).astype("Int64")
+    out = out.reset_index()
+    for c in ("hits", "uniq_convs_ub", "err_hits", "bytes_sum", "gap_count"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_top_patterns(sf_dir: str):
+    """K1+A6+J2: top-10 patterns by hits over the whole range, with exact
+    weighted-quantile sums and %-of-total."""
+    summary = build_summary(_enriched(sf_dir), _cfg()).to_pandas()
+    m = _merge_exact(summary, ["pattern"])
+    total = int(m["hits"].sum())
+    m["hits_pct"] = np.round(m["hits"] * 100.0 / total, 6)
+    m = m.sort_values(["hits", "pattern"], ascending=[False, True],
+                      kind="mergesort").head(10).reset_index(drop=True)
+    return m
+
+
+SQL_TOP_PATTERNS = _PRELUDE + """
+, m as (
+  select pattern,
+    cast(sum(hits) as bigint) as hits,
+    cast(sum(uniq_convs) as bigint) as uniq_convs_ub,
+    cast(sum(err_hits) as bigint) as err_hits,
+    cast(sum(bytes_sum) as bigint) as bytes_sum,
+    cast(sum(gap_count) as bigint) as gap_count,
+    cast(sum(gap_p25 * gap_count) as bigint) as gap_wsum_p25,
+    cast(sum(gap_p50 * gap_count) as bigint) as gap_wsum_p50,
+    cast(sum(gap_p75 * gap_count) as bigint) as gap_wsum_p75,
+    cast(sum(gap_p95 * gap_count) as bigint) as gap_wsum_p95
+  from s group by pattern)
+select pattern, hits, uniq_convs_ub, err_hits, bytes_sum, gap_count,
+  gap_wsum_p25, gap_wsum_p50, gap_wsum_p75, gap_wsum_p95,
+  round(hits * 100.0 / (select sum(hits) from m), 6) as hits_pct
+from m order by hits desc, pattern limit 10"""
+
+
+DETAIL_PATTERN = "purchase:/api/purchase/*"
+
+
+def q_pattern_detail(sf_dir: str):
+    """K2: args_abs drill-down within one pattern."""
+    summary = build_summary(_enriched(sf_dir), _cfg()).to_pandas()
+    d = summary[summary["pattern"] == DETAIL_PATTERN]
+    m = _merge_exact(d, ["args_abs"])
+    return m.sort_values(["hits", "args_abs"], ascending=[False, True],
+                         kind="mergesort").reset_index(drop=True)
+
+
+SQL_PATTERN_DETAIL = _PRELUDE + f"""
+select args_abs,
+  cast(sum(hits) as bigint) as hits,
+  cast(sum(uniq_convs) as bigint) as uniq_convs_ub,
+  cast(sum(err_hits) as bigint) as err_hits,
+  cast(sum(bytes_sum) as bigint) as bytes_sum,
+  cast(sum(gap_count) as bigint) as gap_count,
+  cast(sum(gap_p25 * gap_count) as bigint) as gap_wsum_p25,
+  cast(sum(gap_p50 * gap_count) as bigint) as gap_wsum_p50,
+  cast(sum(gap_p75 * gap_count) as bigint) as gap_wsum_p75,
+  cast(sum(gap_p95 * gap_count) as bigint) as gap_wsum_p95
+from s where pattern = '{DETAIL_PATTERN}'
+group by args_abs order by hits desc, args_abs"""
+
+
+def q_distribution_hour(sf_dir: str):
+    """K3: hits/err/bytes per hour bucket."""
+    from abslog_ray.pipelines.show import distribution
+    summary = build_summary(_enriched(sf_dir), _cfg())
+    return distribution(summary, "hour")
+
+
+SQL_DISTRIBUTION_HOUR = _PRELUDE + """
+select strftime(minute, '%y%m%d%H') as bucket,
+  cast(sum(hits) as bigint) as hits,
+  cast(sum(err_hits) as bigint) as err_hits,
+  cast(sum(bytes_sum) as bigint) as bytes_sum
+from s group by 1 order by 1"""
+
+
+def q_distinct_tools(sf_dir: str):
+    """D3: distinct tool values."""
+    vals = sorted(ray.data.read_parquet(
+        _events(sf_dir), columns=["event_type"]).unique("event_type"))
+    return pd.DataFrame({"tool": pd.Series(vals, dtype="string")})
+
+
+SQL_DISTINCT_TOOLS = "select distinct event_type as tool from events"
+
+
+# ==========================================================================
+# events-table family (K1/A3/J2 on the raw driver table)
+# ==========================================================================
+
+def q_top_event_types(sf_dir: str):
+    """K1/A3 on raw events: hits, exact distinct users, discrete median."""
+    ds = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(batch["event_type"].to_pandas(),
+                                   sort=False)
+        G = len(uniq)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        hits = np.bincount(codes, minlength=G).astype(np.int64)
+        ucodes, uu = pd.factorize(pd.Series(users), sort=False)
+        pairs = np.unique(codes.astype(np.int64) * len(uu) + ucodes)
+        uoff = np.zeros(G + 1, dtype=np.int32)
+        np.cumsum(np.bincount(pairs // len(uu), minlength=G), out=uoff[1:])
+        ulist = pa.ListArray.from_arrays(
+            pa.array(uoff), pa.array(uu[pairs % len(uu)].astype(np.int64)))
+        order = np.argsort(codes, kind="stable")
+        voff = np.zeros(G + 1, dtype=np.int32)
+        np.cumsum(np.bincount(codes, minlength=G), out=voff[1:])
+        vlist = pa.ListArray.from_arrays(
+            pa.array(voff), pa.array(vals[order]))
+        return pa.table({"event_type": pa.array(uniq, pa.string()),
+                         "hits": pa.array(hits),
+                         "users": ulist, "vals": vlist})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        from abslog_ray.quantiles import quantile_disc
+        recs = []
+        for et, g in df.groupby("event_type", sort=True):
+            users = np.unique(np.concatenate(list(g["users"])))
+            vals = np.sort(np.concatenate(list(g["vals"])))
+            recs.append({"event_type": et, "hits": int(g["hits"].sum()),
+                         "uniq_users": len(users),
+                         "p50_value": quantile_disc(vals, 0.5)})
+        return pd.DataFrame(recs)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("event_type").map_groups(
+        finalize, batch_format="pandas")
+    return (out.sort(["hits", "event_type"], descending=[True, False])
+              .limit(10))
+
+
+SQL_TOP_EVENT_TYPES = """
+select event_type, count(*) as hits,
+  cast(count(distinct user_id) as bigint) as uniq_users,
+  quantile_disc(value, 0.5) as p50_value
+from events group by event_type order by hits desc, event_type limit 10"""
+
+
+def q_event_share(sf_dir: str):
+    """J2: per-type hit share of total (single exact division, round 6)."""
+    ds = ray.data.read_parquet(_events(sf_dir), columns=["event_type"])
+    counts = ds.groupby("event_type").count().to_pandas()
+    counts = counts.rename(columns={"count()": "hits"})
+    total = int(counts["hits"].sum())
+    counts["hits_pct"] = np.round(counts["hits"] * 100.0 / total, 6)
+    return counts.sort_values("event_type", ignore_index=True)
+
+
+SQL_EVENT_SHARE = """
+with c as (select event_type, count(*) as hits from events group by event_type)
+select event_type, hits,
+  round(hits * 100.0 / (select sum(hits) from c), 6) as hits_pct
+from c order by event_type"""
+
+
+# ==========================================================================
+# general-aggregate proof on TPC-H lineitem (engine breadth)
+# ==========================================================================
+
+def q_q1_lineitem(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(cutoff, pa.timestamp("us"))))
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "l_extendedprice": t["l_extendedprice"],
+            "disc_price": disc_price,
+            "l_discount": t["l_discount"],
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("l_quantity", alias_name="sum_qty_f"),
+                        Sum("l_extendedprice", alias_name="sum_base_f"),
+                        Sum("disc_price", alias_name="sum_disc_f"),
+                        Count(alias_name="count_order"))).to_pandas()
+    out["sum_qty"] = out["sum_qty_f"].round(0).astype("int64")
+    out["sum_base_price"] = out["sum_base_f"].round(2)
+    out["sum_disc_price"] = out["sum_disc_f"].round(2)
+    out = out.drop(columns=["sum_qty_f", "sum_base_f", "sum_disc_f"])
+    out["count_order"] = out["count_order"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"],
+                           ignore_index=True)
+
+
+SQL_Q1_LINEITEM = """
+select l_returnflag, l_linestatus,
+  count(*) as count_order,
+  cast(round(sum(l_quantity), 0) as bigint) as sum_qty,
+  round(sum(l_extendedprice), 2) as sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price
+from lineitem
+where l_shipdate <= timestamp '1998-09-02'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus"""
+
+
+# ==========================================================================
+# documents family: dedup + text analysis
+# ==========================================================================
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def q_exact_dedup(sf_dir: str):
+    """D1: exact dedup groups (content hash, representative = min doc_id)."""
+    from abslog_ray.stages.dedup import exact_dedup_groups
+    return exact_dedup_groups(_docs(sf_dir))
+
+
+SQL_EXACT_DEDUP = """
+select md5(text) as fp, cast(min(doc_id) as bigint) as doc_id,
+  count(*) as n_copies
+from documents group by md5(text)"""
+
+
+def q_token_stats(sf_dir: str):
+    from abslog_ray.functions.text import token_stats_batch
+    return _docs(sf_dir).map_batches(token_stats_batch,
+                                     batch_format="pyarrow")
+
+
+SQL_TOKEN_STATS = r"""
+select doc_id,
+  cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as bigint) as n_tokens,
+  cast(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) as bigint) as n_uniq_tokens
+from documents"""
+
+
+def q_quality(sf_dir: str):
+    from abslog_ray.functions.text import quality_batch
+    return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+
+
+_STOP_SQL = "('the','a','and','of','to','in','is','on','for','with')"
+
+SQL_QUALITY = rf"""
+with tk as (
+  select doc_id, cast(strlen(text) as bigint) as n_chars,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') as toks,
+    cast(strlen(regexp_replace(text, '[^.,!?;:]', '', 'g')) as bigint) as n_punct
+  from documents)
+select doc_id, n_chars,
+  cast(len(toks) as bigint) as n_tokens,
+  round(cast(len(list_filter(toks, x -> x in {_STOP_SQL})) as bigint) * 1.0
+        / greatest(len(toks), 1), 6) as stop_ratio,
+  round(n_punct * 1.0 / greatest(n_chars, 1), 6) as punct_ratio
+from tk"""
+
+
+def q_fingerprint(sf_dir: str):
+    from abslog_ray.functions.text import fingerprint_batch
+    return _docs(sf_dir).map_batches(fingerprint_batch,
+                                     batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = "select doc_id, md5(text) as fp from documents"
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard similar pairs (tau=0.5)."""
+    from abslog_ray.stages.dedup import jaccard_pairs
+    return jaccard_pairs(_docs(sf_dir), n=3, tau=0.5)
+
+
+SQL_JACCARD_PAIRS = r"""
+with toks as (
+  select doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') as t
+  from documents),
+sh as (
+  select doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) as g
+  from toks),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i
+  from sh a join sh b on a.g = b.g and a.doc_id < b.doc_id
+  group by 1, 2)
+select doc_a, doc_b,
+  round(i * 1.0 / (sa.n + sb.n - i), 6) as jac
+from inter
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where i * 1.0 / (sa.n + sb.n - i) >= 0.5"""
+
+
+def q_minhash_dupes(sf_dir: str):
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified (tau=0.5).
+    Approximate recall by construction — rows-only driver check; pytest
+    asserts candidates ⊆ exact pairs and recall on planted dupes."""
+    from abslog_ray.stages.dedup import minhash_lsh_dupes
+    return minhash_lsh_dupes(_docs(sf_dir), n=3, tau=0.5)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash 64-bit fingerprints (deterministic; rows-only check)."""
+    from abslog_ray.stages.dedup import simhash
+    return simhash(_docs(sf_dir))
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language-ID (stopword profiles; rows-only check)."""
+    from abslog_ray.functions.text import LangId
+    return _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
+                                     concurrency=2)
+
+
+# ==========================================================================
+# embeddings family: similarity search + near-dup
+# ==========================================================================
+
+KNN_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+def _emb(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_knn(sf_dir: str):
+    from abslog_ray.stages.similarity import knn_brute
+    return knn_brute(_emb(sf_dir), KNN_QUERY_IDS, k=10)
+
+
+SQL_KNN = f"""
+with q as (
+  select vec_id as qid,
+    list_transform(embedding, x -> cast(x as double)) as qe
+  from embeddings where vec_id in {KNN_QUERY_IDS}),
+s as (
+  select q.qid as query_id, e.vec_id as neighbor_id,
+    round(list_cosine_similarity(
+      list_transform(e.embedding, x -> cast(x as double)), q.qe), 6) as sim
+  from embeddings e, q where e.vec_id <> q.qid),
+r as (
+  select *, row_number() over (
+    partition by query_id order by sim desc, neighbor_id) as rank
+  from s)
+select query_id, neighbor_id, sim, cast(rank as bigint) as rank
+from r where rank <= 10"""
+
+
+def q_embedding_dupes(sf_dir: str):
+    """Embedding-cosine near-dup pairs, label-blocked (tau=0.3 — the
+    driver embeddings are near-random, so higher thresholds return nothing)."""
+    from abslog_ray.stages.similarity import blocked_near_dup
+    return blocked_near_dup(_emb(sf_dir), tau=0.3)
+
+
+SQL_EMBEDDING_DUPES = """
+select a.vec_id as vec_a, b.vec_id as vec_b,
+  round(list_cosine_similarity(
+    list_transform(a.embedding, x -> cast(x as double)),
+    list_transform(b.embedding, x -> cast(x as double))), 6) as sim
+from embeddings a join embeddings b
+  on a.label = b.label and a.vec_id < b.vec_id
+where round(list_cosine_similarity(
+    list_transform(a.embedding, x -> cast(x as double)),
+    list_transform(b.embedding, x -> cast(x as double))), 6) >= 0.3"""
+
+
+def q_lsh_ann(sf_dir: str):
+    """LSH-bucketed approximate KNN (scale path; rows-only check)."""
+    from abslog_ray.stages.similarity import lsh_ann
+    return lsh_ann(_emb(sf_dir), KNN_QUERY_IDS, k=10)
+
+
+# ==========================================================================
+# registry
+# ==========================================================================
+
+QUERIES = {
+    # transcript pipeline family (flagship; full SQL oracle via derivation)
+    "flagship_summary": (q_flagship_summary, SQL_FLAGSHIP),
+    "parse_fields": (q_parse_fields, SQL_PARSE_FIELDS),
+    "abstraction": (q_abstraction, SQL_ABSTRACTION),
+    "gaps": (q_gaps, SQL_GAPS),
+    "routed_counts": (q_routed_counts, SQL_ROUTED_COUNTS),
+    "minute_totals": (q_minute_totals, SQL_MINUTE_TOTALS),
+    "top_patterns": (q_top_patterns, SQL_TOP_PATTERNS),
+    "pattern_detail": (q_pattern_detail, SQL_PATTERN_DETAIL),
+    "distribution_hour": (q_distribution_hour, SQL_DISTRIBUTION_HOUR),
+    "distinct_tools": (q_distinct_tools, SQL_DISTINCT_TOOLS),
+    # raw events family
+    "top_event_types": (q_top_event_types, SQL_TOP_EVENT_TYPES),
+    "event_share": (q_event_share, SQL_EVENT_SHARE),
+    # general aggregates
+    "q1_lineitem": (q_q1_lineitem, SQL_Q1_LINEITEM),
+    # documents: dedup + text analysis
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_scores": (q_quality, SQL_QUALITY),
+    "fingerprints": (q_fingerprint, SQL_FINGERPRINT),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "minhash_dupes": (q_minhash_dupes, None),
+    "simhash": (q_simhash, None),
+    "langid": (q_langid, None),
+    # embeddings: similarity
+    "knn": (q_knn, SQL_KNN),
+    "embedding_dupes": (q_embedding_dupes, SQL_EMBEDDING_DUPES),
+    "lsh_ann": (q_lsh_ann, None),
+}

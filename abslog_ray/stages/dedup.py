@@ -1,0 +1,352 @@
+"""Deduplication operators over document tables (training-data pipeline
+extensions; driver brief: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup — the last lives in stages/similarity.py).
+
+Scale shapes:
+- exact: content-hash in map_batches (per-batch partial: one row per hash)
+  → tiny groupby — the hash-partition + per-group-first pattern.
+- n-gram Jaccard (exact): distinct word-n-gram shingles per doc → explode →
+  shingle-keyed equi-join (groupby shingle, pairs within group) →
+  intersection counts → Jaccard filter.  SQL-mirrorable, hence the oracle
+  for the whole near-dup family.
+- MinHash+LSH (approximate, the 10^12-scale path): 64-perm signatures per
+  doc (vectorized universal hashing), banded into buckets; candidate pairs
+  = docs sharing a band bucket (groupby band key); verified with exact
+  Jaccard over their shingle sets.
+- SimHash: 64-bit sign-of-weighted-sum fingerprint per doc; near-dups =
+  small Hamming distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from abslog_ray.functions.text import _tokens_with_parents
+
+# 2^31-1: keeps a*h products inside int64 for vectorized modular hashing
+MERSENNE = (1 << 31) - 1
+
+
+def _stable_hash64(arr: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash of strings (pandas SipHash, fixed key)."""
+    return pd.util.hash_array(arr.astype(object, copy=False))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_groups(ds, id_col="doc_id", text_col="text"):
+    """One row per distinct text: doc_id = min id in group, n_copies.
+    Two-phase: per-batch partial (hash → min id, count) then a small
+    groupby over partials."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import hashlib
+        text = batch[text_col].to_pandas()
+        h = text.map(lambda s: hashlib.md5(s.encode()).hexdigest()).to_numpy()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(pd.Series(h), sort=False)
+        G = len(uniq)
+        mins = np.full(G, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, codes, ids)
+        return pa.table({
+            "fp": pa.array(uniq, pa.string()),
+            "doc_id": pa.array(mins),
+            "n_copies": pa.array(np.bincount(codes, minlength=G).astype(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("fp")
+              .aggregate(Min("doc_id", alias_name="doc_id"),
+                         Sum("n_copies", alias_name="n_copies")))
+
+
+# --------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard pairs
+# --------------------------------------------------------------------------
+
+def shingle_batch(batch: pa.Table, n: int = 3,
+                  id_col="doc_id", text_col="text") -> pa.Table:
+    """Distinct word-n-gram shingles per doc, exploded to (doc_id, shingle).
+    Vectorized: flatten tokens once, build grams with shifted joins."""
+    flat, parents = _tokens_with_parents(batch[text_col])
+    if len(flat) == 0:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "shingle": pa.array([], pa.string())})
+    gram = flat.astype(object)
+    ok = np.ones(len(flat), dtype=bool)
+    for k in range(1, n):
+        nxt = np.roll(flat, -k)
+        nxt_parent = np.roll(parents, -k)
+        gram = np.char.add(np.char.add(gram.astype(str), " "),
+                           nxt.astype(str)).astype(object)
+        ok &= (nxt_parent == parents)
+    if n > 1:
+        ok[len(flat) - (n - 1):] = False  # np.roll wrap-around
+    gram, gparents = gram[ok], parents[ok]
+    # distinct per doc
+    codes, uniq = pd.factorize(pd.Series(gram.astype(str)), sort=False)
+    pair = np.unique(gparents.astype(np.int64) * (len(uniq) or 1) + codes)
+    rows = pair // (len(uniq) or 1)
+    grams = uniq.take(pair % (len(uniq) or 1))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[rows]
+    return pa.table({id_col: pa.array(ids),
+                     "shingle": pa.array(grams, pa.string())})
+
+
+def shingles(ds, n: int = 3, id_col="doc_id", text_col="text"):
+    return ds.map_batches(
+        lambda b: shingle_batch(b, n, id_col, text_col),
+        batch_format="pyarrow")
+
+
+def jaccard_pairs(ds, n: int = 3, tau: float = 0.5, id_col="doc_id",
+                  text_col="text", shingle_buckets: int = 32):
+    """EXACT n-gram Jaccard similar pairs (doc_a < doc_b, jac >= tau).
+
+    shingle explode → bucket-hash shingles → per-bucket pair counting
+    (vectorized within bucket) → global pair aggregation → Jaccard filter.
+    Doc shingle-set sizes are broadcast into the final filter stage.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+    from abslog_ray.stages.gaps import add_bucket_fn
+
+    sh = shingles(ds, n, id_col, text_col).materialize()
+
+    # per-doc distinct shingle counts (small table → broadcast)
+    sizes = sh.groupby(id_col).count().to_pandas()
+    size_map = dict(zip(sizes[id_col], sizes["count()"]))
+    size_ref = ray.put(size_map)
+
+    sh = sh.map_batches(add_bucket_fn("shingle", shingle_buckets),
+                        batch_format="pyarrow")
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df["shingle"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        c = codes[order]
+        ids = df[id_col].to_numpy()[order]
+        counts = np.bincount(c)
+        outs_a, outs_b = [], []
+        start = 0
+        for m in counts:
+            if m > 1:
+                grp = np.sort(ids[start:start + m])
+                ii, jj = np.triu_indices(m, k=1)
+                outs_a.append(grp[ii])
+                outs_b.append(grp[jj])
+            start += m
+        if not outs_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "inter": pd.Series([], dtype=np.int64)})
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        # combine duplicate pairs within the bucket
+        key = pd.MultiIndex.from_arrays([a, b])
+        pcodes, puniq = key.factorize(sort=False)
+        inter = np.bincount(pcodes).astype(np.int64)
+        return pd.DataFrame({
+            "doc_a": puniq.get_level_values(0).to_numpy(),
+            "doc_b": puniq.get_level_values(1).to_numpy(),
+            "inter": inter,
+        })
+
+    from abslog_ray.stages.gaps import BUCKET_COL
+    pair_ds = sh.groupby(BUCKET_COL).map_groups(
+        lambda df: pairs_in_bucket(df.drop(columns=[BUCKET_COL])),
+        batch_format="pandas")
+    agg = pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("inter", alias_name="inter"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        smap = ray.get(size_ref)
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([smap[x] for x in a], dtype=np.float64)
+        nb = np.array([smap[x] for x in b], dtype=np.float64)
+        jac = np.round(inter / (na + nb - inter), 6)
+        keep = jac >= tau
+        return pa.table({
+            "doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep]),
+            "jac": pa.array(jac[keep]),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (approximate near-dup at scale)
+# --------------------------------------------------------------------------
+
+def make_minhash_params(num_perm: int = 64, seed: int = 1337):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, num_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(ds, n: int = 3, num_perm: int = 64, seed: int = 1337,
+                       id_col="doc_id", text_col="text"):
+    """One row per doc: signature list<int64> of length num_perm."""
+    a, b = make_minhash_params(num_perm, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh = shingle_batch(batch, n, id_col, text_col)
+        ids = sh[id_col].to_numpy(zero_copy_only=False)
+        h = _stable_hash64(sh["shingle"].to_numpy(zero_copy_only=False))
+        h = (h % MERSENNE).astype(np.int64)
+        codes, uniq_ids = pd.factorize(pd.Series(ids), sort=False)
+        G = len(uniq_ids)
+        sig = np.empty((G, len(a)), dtype=np.int64)
+        order = np.argsort(codes, kind="stable")
+        h_ord = h[order]
+        counts = np.bincount(codes, minlength=G)
+        starts = np.zeros(G, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        # h_i(x) = (a_i*x + b_i) mod p; per-perm segmented min (reduceat, C)
+        for i in range(len(a)):
+            hx = ((a[i] * h_ord) % MERSENNE + b[i]) % MERSENNE
+            sig[:, i] = np.minimum.reduceat(hx, starts)
+        offs = np.arange(G + 1, dtype=np.int32) * len(a)
+        return pa.table({
+            id_col: pa.array(uniq_ids),
+            "sig": pa.ListArray.from_arrays(pa.array(offs),
+                                            pa.array(sig.reshape(-1))),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lsh_candidates(sig_ds, num_perm: int = 64, bands: int = 16,
+                   id_col="doc_id"):
+    """Explode signatures to (band, bucket_hash, doc_id); docs sharing a
+    (band, bucket) are candidate pairs."""
+    rows_per_band = num_perm // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig_col = batch["sig"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sig = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids), num_perm)
+        band_ids = np.repeat(np.arange(bands), len(ids))
+        doc_rep = np.tile(ids, bands)
+        buckets = np.empty(bands * len(ids), dtype=np.int64)
+        for bi in range(bands):
+            seg = sig[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+            acc = np.zeros(len(ids), dtype=np.uint64)
+            for c in range(rows_per_band):
+                acc = acc * np.uint64(1099511628211) ^ seg[:, c].astype(np.uint64)
+            buckets[bi * len(ids):(bi + 1) * len(ids)] = acc.astype(np.int64)
+        return pa.table({
+            "band": pa.array(band_ids.astype(np.int32)),
+            "bucket": pa.array(buckets),
+            id_col: pa.array(doc_rep),
+        })
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        key = pd.MultiIndex.from_arrays([df["band"], df["bucket"]])
+        codes, _ = key.factorize(sort=False)
+        order = np.argsort(codes, kind="stable")
+        ids = df[id_col].to_numpy()[order]
+        counts = np.bincount(codes[order])
+        outs = []
+        start = 0
+        for m in counts:
+            if 1 < m <= 200:   # skip degenerate mega-buckets
+                grp = np.unique(ids[start:start + m])
+                if len(grp) > 1:
+                    ii, jj = np.triu_indices(len(grp), k=1)
+                    outs.append(np.stack([grp[ii], grp[jj]], axis=1))
+            start += m
+        if not outs:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        ab = np.unique(np.concatenate(outs), axis=0)
+        return pd.DataFrame({"doc_a": ab[:, 0], "doc_b": ab[:, 1]})
+
+    from abslog_ray.stages.gaps import add_bucket_fn, BUCKET_COL
+    ex = sig_ds.map_batches(explode, batch_format="pyarrow")
+    ex = ex.map_batches(add_bucket_fn("bucket", 32), batch_format="pyarrow")
+    cand = ex.groupby(BUCKET_COL).map_groups(
+        lambda df: pairs(df.drop(columns=[BUCKET_COL])),
+        batch_format="pandas")
+    # dedup pairs found in multiple bands
+    return cand.groupby(["doc_a", "doc_b"]).count().drop_columns(["count()"])
+
+
+def minhash_lsh_dupes(ds, n: int = 3, tau: float = 0.5, num_perm: int = 64,
+                      bands: int = 16, id_col="doc_id", text_col="text"):
+    """LSH candidates verified with EXACT Jaccard over shingle sets.
+    Returns (doc_a, doc_b, jac) with jac >= tau."""
+    import ray
+
+    sigs = minhash_signatures(ds, n, num_perm, id_col=id_col,
+                              text_col=text_col)
+    cand = lsh_candidates(sigs, num_perm, bands, id_col).to_pandas()
+    if len(cand) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jac": pa.array([], pa.float64())})
+
+    # verify: exact jaccard over candidate docs' shingle sets
+    cand_docs = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
+    docs_ref = ray.put(set(cand_docs.tolist()))
+
+    def filter_docs(batch: pa.Table) -> pa.Table:
+        keep = np.isin(batch[id_col].to_numpy(zero_copy_only=False),
+                       cand_docs)
+        return batch.filter(pa.array(keep))
+
+    sh = shingles(ds.map_batches(filter_docs, batch_format="pyarrow"),
+                  n, id_col, text_col).to_pandas()
+    sets = sh.groupby(id_col)["shingle"].agg(set).to_dict()
+    a = cand["doc_a"].to_numpy()
+    b = cand["doc_b"].to_numpy()
+    jac = np.array([
+        len(sets[x] & sets[y]) / len(sets[x] | sets[y])
+        if x in sets and y in sets else 0.0
+        for x, y in zip(a, b)])
+    jac = np.round(jac, 6)
+    keep = jac >= tau
+    return pa.table({"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep]),
+                     "jac": pa.array(jac[keep])})
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_batch(batch: pa.Table, id_col="doc_id",
+                  text_col="text") -> pa.Table:
+    """64-bit SimHash per doc over token hashes (sign of summed ±1 bits)."""
+    flat, parents = _tokens_with_parents(batch[text_col])
+    n = batch.num_rows
+    if len(flat) == 0:
+        return pa.table({id_col: batch[id_col],
+                         "simhash": pa.array(np.zeros(n, dtype=np.int64))})
+    h = _stable_hash64(flat)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    contrib = np.where(bits > 0, 1, -1)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(acc, parents, contrib)
+    out = (acc > 0).astype(np.uint64)
+    sh = np.zeros(n, dtype=np.uint64)
+    for k in range(64):
+        sh |= out[:, k] << np.uint64(k)
+    return pa.table({id_col: batch[id_col],
+                     "simhash": pa.array(sh.astype(np.int64))})
+
+
+def simhash(ds, id_col="doc_id", text_col="text"):
+    return ds.map_batches(lambda b: simhash_batch(b, id_col, text_col),
+                          batch_format="pyarrow")

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (training-data pipeline
+extensions; driver brief: brute-force cosine top-k baseline + a bucketed
+variant as the scale path, plus embedding-cosine near-dup).
+
+Scale shapes:
+- brute-force top-k: the query matrix is broadcast once (``ray.put``), each
+  batch does ONE numpy matmul against it and emits its local top-k per
+  query; a final tiny merge keeps the global top-k.  No shuffle of the
+  embedding table.
+- LSH-bucketed ANN: seeded random-hyperplane signs bucket the vectors; a
+  query probes only its own bucket — approximate, bounded work per query.
+- near-dup: label-blocked pairwise cosine (an IVF-style coarse partition);
+  exact within blocks, mirrors the oracle SQL's blocked join.
+
+Determinism: similarity values are rounded to 6 decimals and ties broken by
+vec_id everywhere, so results are stable across engines and batch orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _stack_embeddings(batch: pa.Table, col="embedding") -> np.ndarray:
+    e = batch[col]
+    if isinstance(e, pa.ChunkedArray):
+        e = e.combine_chunks()
+    flat = e.flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // max(batch.num_rows, 1)
+    return flat.reshape(batch.num_rows, dim).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+def knn_brute(ds, query_ids, k: int = 10, id_col="vec_id", col="embedding"):
+    """Exact cosine top-k for each query id (queries excluded from their own
+    neighbor lists).  Returns query_id, neighbor_id, sim (rounded), rank."""
+    import ray
+
+    qids = sorted(query_ids)
+    qdf = (ds.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b[id_col].to_numpy(zero_copy_only=False), qids))),
+        batch_format="pyarrow")).to_pandas()
+    order = np.argsort(qdf[id_col].to_numpy())
+    Q = _normalize(np.stack(qdf["embedding"].to_numpy()[order]).astype(np.float64))
+    q_ids = qdf[id_col].to_numpy()[order]
+    q_ref = ray.put((q_ids, Q))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids_, Q_ = ray.get(q_ref)
+        M = _normalize(_stack_embeddings(batch, col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = np.round(M @ Q_.T, 6)                     # (n, q)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            s = sims[:, qi]
+            mask = ids != q_ids_[qi]
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                # top-k by (sim desc, vec_id asc) — lexsort for determinism
+                sel = np.lexsort((cand_ids, -cand_s))[:k]
+            else:
+                sel = np.lexsort((cand_ids, -cand_s))
+            out_q.append(np.full(len(sel), q_ids_[qi]))
+            out_n.append(cand_ids[sel])
+            out_s.append(cand_s[sel])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True], kind="mergesort")
+        df = df.head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def blocked_near_dup(ds, tau: float = 0.95, block_col="label",
+                     id_col="vec_id", col="embedding"):
+    """Embedding-cosine near-dup pairs within coarse blocks (IVF-style:
+    pairs across blocks are assumed dissimilar).  Exact within block."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = _normalize(np.stack(df[col].to_numpy()[order]).astype(np.float64))
+        sims = np.round(M @ M.T, 6)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= tau
+        return pd.DataFrame({
+            "vec_a": ids[ii[keep]].astype(np.int64),
+            "vec_b": ids[jj[keep]].astype(np.int64),
+            "sim": sims[ii[keep], jj[keep]],
+        })
+
+    return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
+
+
+def lsh_ann(ds, query_ids, k: int = 10, n_planes: int = 8, seed: int = 7,
+            id_col="vec_id", col="embedding", dim: int = 64):
+    """Approximate top-k: random-hyperplane LSH buckets, query probes its
+    own bucket only.  The scale path — work per query is O(bucket size)."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        M = _stack_embeddings(batch, col)
+        signs = (M @ P) > 0
+        code = np.zeros(len(M), dtype=np.int64)
+        for b in range(n_planes):
+            code |= signs[:, b].astype(np.int64) << b
+        return batch.append_column("bucket", pa.array(code))
+
+    bds = ds.map_batches(bucketize, batch_format="pyarrow")
+    qset = set(query_ids)
+
+    def topk_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        qmask = df[id_col].isin(qset)
+        if not qmask.any():
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "sim": pd.Series([], dtype=np.float64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        ids = df[id_col].to_numpy()
+        M = _normalize(np.stack(df[col].to_numpy()).astype(np.float64))
+        out = []
+        for qrow in np.flatnonzero(qmask.to_numpy()):
+            sims = np.round(M @ M[qrow], 6)
+            mask = ids != ids[qrow]
+            cids, cs = ids[mask], sims[mask]
+            sel = np.lexsort((cids, -cs))[:k]
+            out.append(pd.DataFrame({
+                "query_id": np.full(len(sel), ids[qrow], dtype=np.int64),
+                "neighbor_id": cids[sel].astype(np.int64),
+                "sim": cs[sel],
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    return bds.groupby("bucket").map_groups(topk_in_bucket,
+                                            batch_format="pandas")
