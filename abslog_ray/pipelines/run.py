@@ -53,8 +53,24 @@ def add_minute_str(batch: pa.Table) -> pa.Table:
         "minute_str", pc.strftime(batch["minute"], format=MINUTE_FMT))
 
 
+def apply_exclusions(ds, cfg: PipelineConfig):
+    """M7: config-driven row exclusion (reference: excluded ips/uris in
+    config.py).  Matching rows are dropped from the pipeline but their
+    per-(role) counts are derivable from the routed sink diff; the count is
+    also surfaced in run_pipeline's manifest metrics."""
+    if not cfg.exclude_text_regex:
+        return ds
+    pat = cfg.exclude_text_regex
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.match_substring_regex(t["text"], pat)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def build_enriched(ds, cfg: PipelineConfig):
     """parse (stateless tasks) + enrich (actor pool)."""
+    ds = apply_exclusions(ds, cfg)
     ds = ds.map_batches(make_parse_fn(cfg.parse_pattern),
                         batch_format="pyarrow",
                         batch_size=cfg.parse_batch_size,

@@ -245,16 +245,165 @@ def make_finalize_summary_fn(quantiles, exact_quantiles: bool = True):
     return fn
 
 
-def summarize(ds, cfg):
-    """Dataset (parsed+enriched+gapped) -> per-key summary Dataset."""
-    parts = ds.map_batches(
-        make_partial_summary_fn(cfg.exact_quantiles),
-        batch_format="pyarrow", batch_size=cfg.parse_batch_size)
-    parts = parts.map_batches(add_key_bucket_fn(cfg.agg_buckets),
+def make_direct_summary_fn(quantiles):
+    """Single-pass vectorized aggregation of one key-hash bucket of RAW
+    (parsed+gapped) rows: factorize keys once, then numpy bincounts and
+    segmented quantile gathers — no per-key Python, no list columns."""
+    qs = tuple(quantiles)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if KEY_BUCKET in t.column_names:
+            t = t.drop_columns([KEY_BUCKET])
+        t = t.filter(pc.equal(t["parsed"], True)) \
+            if "parsed" in t.column_names else t
+        keys = pd.MultiIndex.from_arrays([
+            t["role"].to_pandas(), t["minute"].to_pandas(),
+            t["pattern"].to_pandas(), t["args_abs"].to_pandas(),
+        ], names=SUMMARY_KEYS)
+        codes, uniq = keys.factorize(sort=False)
+        G = len(uniq)
+        if G == 0:
+            return pa.table({c: pa.array([], typ) for c, typ in [
+                    ("role", pa.string()), ("minute", pa.timestamp("us")),
+                    ("pattern", pa.string()), ("args_abs", pa.string()),
+                    ("hits", pa.int64()), ("uniq_convs", pa.int64()),
+                    ("err_hits", pa.int64()), ("bytes_sum", pa.int64()),
+                    ("gap_sum", pa.int64()), ("gap_count", pa.int64()),
+                    ("gap_p25", pa.int64()), ("gap_p50", pa.int64()),
+                    ("gap_p75", pa.int64()), ("gap_p95", pa.int64())]})
+
+        status = t["status"].to_numpy(zero_copy_only=False)
+        nbytes = t["bytes"].to_numpy(zero_copy_only=False)
+        hits = np.bincount(codes, minlength=G).astype(np.int64)
+        err = np.bincount(codes, weights=(status >= 400).astype(np.float64),
+                          minlength=G).astype(np.int64)
+        byts = np.bincount(codes, weights=nbytes.astype(np.float64),
+                           minlength=G).astype(np.int64)
+
+        gap_col = t["gap_us"]
+        if isinstance(gap_col, pa.ChunkedArray):
+            gap_col = gap_col.combine_chunks()
+        gmask = gap_col.is_valid().to_numpy(zero_copy_only=False)
+        gvals = np.asarray(gap_col.fill_null(0))[gmask]
+        gcodes = codes[gmask]
+        gap_count = np.bincount(gcodes, minlength=G).astype(np.int64)
+        gap_sum = np.bincount(gcodes, weights=gvals.astype(np.float64),
+                              minlength=G).astype(np.int64)
+
+        order = np.lexsort((gvals, gcodes))
+        svals = gvals[order]
+        seg = np.zeros(G + 1, dtype=np.int64)
+        np.cumsum(gap_count, out=seg[1:])
+        qcols = {}
+        for q in qs:
+            qi = np.ceil(q * gap_count - 1e-9).astype(np.int64) - 1
+            np.clip(qi, 0, None, out=qi)
+            idx = seg[:-1] + qi
+            if len(svals):
+                gathered = svals[np.minimum(idx, len(svals) - 1)]
+            else:
+                gathered = np.zeros(G, dtype=np.int64)
+            qcols[f"gap_p{int(q*100)}"] = pa.array(
+                np.where(gap_count > 0, gathered, 0), pa.int64(),
+                mask=(gap_count == 0))
+
+        ccodes, cuniq = pd.factorize(
+            pd.Series(t["conv_id"].to_pandas()), sort=False)
+        pairs = np.unique(codes.astype(np.int64) * (len(cuniq) or 1) + ccodes)
+        uniq_convs = np.bincount(pairs // (len(cuniq) or 1),
+                                 minlength=G).astype(np.int64)
+
+        return pa.table({
+            "role": pa.array(uniq.get_level_values(0), pa.string()),
+            "minute": pa.array(uniq.get_level_values(1), pa.timestamp("us")),
+            "pattern": pa.array(uniq.get_level_values(2), pa.string()),
+            "args_abs": pa.array(uniq.get_level_values(3), pa.string()),
+            "hits": pa.array(hits),
+            "uniq_convs": pa.array(uniq_convs),
+            "err_hits": pa.array(err),
+            "bytes_sum": pa.array(byts),
+            "gap_sum": pa.array(gap_sum, pa.int64(), mask=(gap_count == 0)),
+            "gap_count": pa.array(gap_count),
+            **qcols,
+        })
+
+    return fn
+
+
+def summarize(ds, cfg, mode: str = "partial"):
+    """Dataset (parsed+enriched+gapped) -> per-key summary Dataset.
+
+    mode="partial" (default): per-batch pre-combine carrying mergeable
+    state (value lists / histograms), then bucket merge.  Measured fastest
+    on the bench fixture at both 8 and 32 CPUs (partials overlap with the
+    parse/enrich stages under the streaming executor), and it is the path
+    that survives hot-key skew; the exact_quantiles=False sketch variant
+    lives here too.
+
+    mode="direct": shuffle raw narrow rows by key-hash bucket, aggregate
+    each bucket in one vectorized pass — simpler, slightly slower here,
+    kept for shapes where the partial state (value lists) would dominate.
+    """
+    if mode == "partial" or not cfg.exact_quantiles:
+        parts = ds.map_batches(
+            make_partial_summary_fn(cfg.exact_quantiles),
+            batch_format="pyarrow", batch_size=cfg.parse_batch_size)
+        parts = parts.map_batches(add_key_bucket_fn(cfg.agg_buckets),
+                                  batch_format="pyarrow")
+        return parts.groupby(KEY_BUCKET).map_groups(
+            make_finalize_summary_fn(cfg.quantiles, cfg.exact_quantiles),
+            batch_format="pyarrow")
+    keep = [c for c in SUMMARY_KEYS + ["conv_id", "status", "bytes",
+                                       "gap_us", "parsed"]
+            if c in ds.schema().names]
+    narrow = ds.select_columns(keep)
+    narrow = narrow.map_batches(add_key_bucket_fn(cfg.agg_buckets),
+                                batch_format="pyarrow")
+    return narrow.groupby(KEY_BUCKET).map_groups(
+        make_direct_summary_fn(cfg.quantiles), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Generic vectorized hash aggregate.
+#
+# Ray's native groupby().aggregate() pays per-key Python overhead in the
+# reduce — measured >100s for 1.2M distinct keys on this host, vs <2s for
+# this implementation.  Shape: phase A pre-combines per batch with a pandas
+# named-agg (C speed); phase B hash-buckets the key columns and merges each
+# bucket with one more vectorized groupby.  Only pre-reduced rows shuffle.
+# ---------------------------------------------------------------------------
+
+_MERGE_HOW = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def hash_aggregate(ds, keys, spec, n_buckets: int = 32):
+    """spec: {out_name: (col, how)} with how in sum|min|max, or
+    {out_name: ("*", "count")} for row counts.  All outputs int64-ish
+    (whatever pandas sum/min produce for the input dtype)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = sorted({c for c, _ in spec.values() if c != "*"} | set(keys))
+        df = batch.select(cols).to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False)
+        named = {}
+        for out, (col, how) in spec.items():
+            if how == "count":
+                named[out] = (keys[0], "size")
+            else:
+                named[out] = (col, how)
+        res = g.agg(**named).reset_index()
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[KEY_BUCKET])
+        g = df.groupby(keys, sort=False, dropna=False)
+        named = {out: (out, _MERGE_HOW[how]) for out, (_c, how) in spec.items()}
+        return g.agg(**named).reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = parts.map_batches(add_key_bucket_fn(n_buckets, keys=keys),
                               batch_format="pyarrow")
-    return parts.groupby(KEY_BUCKET).map_groups(
-        make_finalize_summary_fn(cfg.quantiles, cfg.exact_quantiles),
-        batch_format="pyarrow")
+    return parts.groupby(KEY_BUCKET).map_groups(merge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -284,31 +433,15 @@ def _partial_totals(batch: pa.Table) -> pa.Table:
 
 
 def minute_totals(ds):
-    from ray.data.aggregate import Sum
     parts = ds.map_batches(_partial_totals, batch_format="pyarrow")
-    return parts.groupby(["role", "minute"]).aggregate(
-        Sum("total_hits", alias_name="total_hits"),
-        Sum("invalid_hits", alias_name="invalid_hits"),
-        Sum("total_bytes", alias_name="total_bytes"),
-    )
+    return hash_aggregate(parts, ["role", "minute"], {
+        "total_hits": ("total_hits", "sum"),
+        "invalid_hits": ("invalid_hits", "sum"),
+        "total_bytes": ("total_bytes", "sum"),
+    })
 
 
 def route_counts(ds):
     """Per (role, minute) routed-row counts (every row routed, M6)."""
-    from ray.data.aggregate import Sum
-
-    def part(batch: pa.Table) -> pa.Table:
-        keys = pd.MultiIndex.from_arrays(
-            [batch["role"].to_pandas(), batch["minute"].to_pandas()],
-            names=["role", "minute"])
-        codes, uniq = keys.factorize(sort=False)
-        return pa.table({
-            "role": pa.array(uniq.get_level_values(0), pa.string()),
-            "minute": pa.array(uniq.get_level_values(1), pa.timestamp("us")),
-            "routed_rows": pa.array(
-                np.bincount(codes, minlength=len(uniq)).astype(np.int64)),
-        })
-
-    return (ds.map_batches(part, batch_format="pyarrow")
-              .groupby(["role", "minute"])
-              .aggregate(Sum("routed_rows", alias_name="routed_rows")))
+    return hash_aggregate(ds, ["role", "minute"],
+                          {"routed_rows": ("*", "count")})

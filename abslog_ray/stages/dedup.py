@@ -41,9 +41,9 @@ def _stable_hash64(arr: np.ndarray) -> np.ndarray:
 
 def exact_dedup_groups(ds, id_col="doc_id", text_col="text"):
     """One row per distinct text: doc_id = min id in group, n_copies.
-    Two-phase: per-batch partial (hash → min id, count) then a small
-    groupby over partials."""
-    from ray.data.aggregate import Min, Sum
+    Two-phase: per-batch partial (hash → min id, count) then a vectorized
+    hash-bucket merge over partials."""
+    from abslog_ray.stages.aggregate import hash_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
         import hashlib
@@ -60,10 +60,9 @@ def exact_dedup_groups(ds, id_col="doc_id", text_col="text"):
             "n_copies": pa.array(np.bincount(codes, minlength=G).astype(np.int64)),
         })
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("fp")
-              .aggregate(Min("doc_id", alias_name="doc_id"),
-                         Sum("n_copies", alias_name="n_copies")))
+    return hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["fp"],
+        {"doc_id": ("doc_id", "min"), "n_copies": ("n_copies", "sum")})
 
 
 # --------------------------------------------------------------------------
@@ -114,14 +113,15 @@ def jaccard_pairs(ds, n: int = 3, tau: float = 0.5, id_col="doc_id",
     Doc shingle-set sizes are broadcast into the final filter stage.
     """
     import ray
-    from ray.data.aggregate import Sum
+    from abslog_ray.stages.aggregate import hash_aggregate
     from abslog_ray.stages.gaps import add_bucket_fn
 
     sh = shingles(ds, n, id_col, text_col).materialize()
 
     # per-doc distinct shingle counts (small table → broadcast)
-    sizes = sh.groupby(id_col).count().to_pandas()
-    size_map = dict(zip(sizes[id_col], sizes["count()"]))
+    sizes = hash_aggregate(sh, [id_col],
+                           {"n_sh": ("*", "count")}).to_pandas()
+    size_map = dict(zip(sizes[id_col], sizes["n_sh"]))
     size_ref = ray.put(size_map)
 
     sh = sh.map_batches(add_bucket_fn("shingle", shingle_buckets),
@@ -162,16 +162,16 @@ def jaccard_pairs(ds, n: int = 3, tau: float = 0.5, id_col="doc_id",
     pair_ds = sh.groupby(BUCKET_COL).map_groups(
         lambda df: pairs_in_bucket(df.drop(columns=[BUCKET_COL])),
         batch_format="pandas")
-    agg = pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
-        Sum("inter", alias_name="inter"))
+    agg = hash_aggregate(pair_ds, ["doc_a", "doc_b"],
+                         {"inter": ("inter", "sum")})
 
     def finalize(batch: pa.Table) -> pa.Table:
         smap = ray.get(size_ref)
         a = batch["doc_a"].to_numpy(zero_copy_only=False)
         b = batch["doc_b"].to_numpy(zero_copy_only=False)
         inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([smap[x] for x in a], dtype=np.float64)
-        nb = np.array([smap[x] for x in b], dtype=np.float64)
+        na = pd.Series(a).map(smap).to_numpy(dtype=np.float64)
+        nb = pd.Series(b).map(smap).to_numpy(dtype=np.float64)
         jac = np.round(inter / (na + nb - inter), 6)
         keep = jac >= tau
         return pa.table({
@@ -281,7 +281,9 @@ def lsh_candidates(sig_ds, num_perm: int = 64, bands: int = 16,
         lambda df: pairs(df.drop(columns=[BUCKET_COL])),
         batch_format="pandas")
     # dedup pairs found in multiple bands
-    return cand.groupby(["doc_a", "doc_b"]).count().drop_columns(["count()"])
+    from abslog_ray.stages.aggregate import hash_aggregate
+    return hash_aggregate(cand, ["doc_a", "doc_b"],
+                          {"n": ("*", "count")}).drop_columns(["n"])
 
 
 def minhash_lsh_dupes(ds, n: int = 3, tau: float = 0.5, num_perm: int = 64,

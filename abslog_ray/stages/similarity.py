@@ -27,9 +27,13 @@ def _stack_embeddings(batch: pa.Table, col="embedding") -> np.ndarray:
     e = batch[col]
     if isinstance(e, pa.ChunkedArray):
         e = e.combine_chunks()
-    flat = e.flatten().to_numpy(zero_copy_only=False)
-    dim = len(flat) // max(batch.num_rows, 1)
-    return flat.reshape(batch.num_rows, dim).astype(np.float64)
+    if isinstance(e, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        flat = e.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(batch.num_rows, 1)
+        return flat.reshape(batch.num_rows, dim).astype(np.float64)
+    # Ray tensor extension array (from_pandas with ndarray cells) or other:
+    arr = e.to_numpy(zero_copy_only=False)
+    return np.stack(list(arr)).astype(np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

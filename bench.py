@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Default: run the headline flagship pipeline over the bench-tier synthetic
+transcript fixture (~6M turns; generated once, cached) plus a representative
+query subset over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``.  Prints ONE
+JSON line:
+
+  {"metric": "flagship_wall_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns": T,
+   "turns_per_sec": R}
+
+``--scaling``: runs the headline twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the SAME input and reports both throughputs
+plus scaling efficiency = (thr_32 / thr_8) / 4 (target >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TIER = os.environ.get("GRAFT_BENCH_TIER", "bench24")  # ~24M turns
+OBJECT_STORE = 16 * 1024**3  # fixed across runs so scaling isolates CPUs
+
+BENCH_QUERIES = [
+    "flagship_summary", "parse_fields", "gaps", "top_patterns",
+    "minute_totals", "exact_dedup", "token_stats", "jaccard_pairs",
+    "knn", "embedding_dupes", "simhash", "langid",
+]
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_headline() -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR",
+                 object_store_memory=OBJECT_STORE)
+    from abslog_ray.config import tune_data_context
+    tune_data_context()
+
+    from abslog_ray.config import PipelineConfig
+    from abslog_ray.fixtures import ROLE_SINKS, TOOL_CATS, fixture_parquet
+    from abslog_ray.pipelines.run import build_enriched, build_summary
+    from abslog_ray.sources.transcripts import read_transcripts
+
+    bench_path = fixture_parquet(BENCH_TIER, num_files=96)
+    cfg = PipelineConfig(tool_lookup=dict(TOOL_CATS),
+                         role_lookup=dict(ROLE_SINKS))
+
+    # warm OS page cache (untimed) so we measure compute + shuffle
+    ds = read_transcripts(bench_path)
+    n_turns = ds.count()
+
+    t0 = time.time()
+    summary = build_summary(build_enriched(read_transcripts(bench_path), cfg),
+                            cfg)
+    n_summary = summary.count()
+    wall = time.time() - t0
+    return {"turns": n_turns, "summary_rows": n_summary,
+            "wall_sec": round(wall, 3),
+            "turns_per_sec": round(n_turns / wall, 1)}
+
+
+def run_queries() -> dict:
+    import ray
+    from abslog_ray.pipelines.queries import QUERIES
+    out = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        t0 = time.time()
+        _consume(fn(SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       BENCH_HEADLINE_ONLY="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        thr8 = results[8]["turns_per_sec"]
+        thr32 = results[32]["turns_per_sec"]
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round((thr32 / thr8) / 4, 3),
+            "unit": "ratio",
+            "thr_8cpu_turns_per_sec": thr8,
+            "thr_32cpu_turns_per_sec": thr32,
+            "sec_8cpu": results[8]["value"],
+            "sec_32cpu": results[32]["value"],
+            "turns": results[8]["turns"],
+        }))
+        return
+
+    head = run_headline()
+    qs = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()
+    print(json.dumps({
+        "metric": "flagship_wall_sec",
+        "value": head["wall_sec"],
+        "unit": "sec",
+        "queries": qs,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": head["turns"],
+        "turns_per_sec": head["turns_per_sec"],
+        "summary_rows": head["summary_rows"],
+    }))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

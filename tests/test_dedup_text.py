@@ -1,0 +1,152 @@
+"""Dedup / similarity / text-analysis operator tests with planted
+duplicates (the driver documents/embeddings tables have no exact dups, so
+these tests construct controlled inputs)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from abslog_ray.functions.text import (
+    LangId,
+    fingerprint_batch,
+    quality_batch,
+    token_stats_batch,
+)
+from abslog_ray.stages.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_dupes,
+    shingle_batch,
+    simhash_batch,
+)
+from abslog_ray.stages.similarity import knn_brute, blocked_near_dup
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes():
+    rng = np.random.default_rng(5)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps", "zeta",
+                      "eta", "theta", "iota", "kappa"])
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(50)]
+    texts = list(base)
+    texts.append(base[0])                       # exact dup of doc 0
+    texts.append(base[1] + " kappa")            # near dup of doc 1
+    mutated = base[2].split()
+    mutated[5] = "OTHER"
+    texts.append(" ".join(mutated))             # near dup of doc 2
+    return pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+
+
+def test_exact_dedup(docs_with_dupes):
+    ds = ray.data.from_pandas(docs_with_dupes)
+    out = exact_dedup_groups(ds).to_pandas()
+    assert len(out) == len(docs_with_dupes) - 1   # one exact dup collapsed
+    grp = out[out["n_copies"] == 2]
+    assert len(grp) == 1 and grp["doc_id"].iloc[0] == 0
+
+
+def test_shingles_match_naive(docs_with_dupes):
+    t = pa.Table.from_pandas(docs_with_dupes.head(5), preserve_index=False)
+    out = shingle_batch(t, n=3).to_pandas()
+    for doc_id, g in out.groupby("doc_id"):
+        toks = docs_with_dupes.loc[docs_with_dupes.doc_id == doc_id,
+                                   "text"].iloc[0].split()
+        want = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        assert set(g["shingle"]) == want
+
+
+def test_jaccard_finds_planted_pairs(docs_with_dupes):
+    ds = ray.data.from_pandas(docs_with_dupes)
+    out = jaccard_pairs(ds, n=3, tau=0.5).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 50) in pairs          # exact dup -> jac 1.0
+    assert (1, 51) in pairs          # suffix-extended near dup
+    assert (2, 52) in pairs          # one-token mutation
+    exact = out[(out.doc_a == 0) & (out.doc_b == 50)]
+    assert exact["jac"].iloc[0] == 1.0
+
+
+def test_minhash_recall_and_precision(docs_with_dupes):
+    ds = ray.data.from_pandas(docs_with_dupes)
+    exact = jaccard_pairs(ds, n=3, tau=0.5).to_pandas()
+    approx = minhash_lsh_dupes(ds, n=3, tau=0.5).to_pandas()
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    approx_pairs = set(zip(approx["doc_a"], approx["doc_b"]))
+    # verified candidates can never contain a non-pair (precision 1.0)
+    assert approx_pairs <= exact_pairs
+    # planted dups survive banding (recall on high-sim pairs)
+    assert (0, 50) in approx_pairs and (1, 51) in approx_pairs
+
+
+def test_simhash_close_for_near_dups(docs_with_dupes):
+    t = pa.Table.from_pandas(docs_with_dupes, preserve_index=False)
+    out = simhash_batch(t).to_pandas().set_index("doc_id")["simhash"]
+    assert out.loc[0] == out.loc[50]          # identical text
+    ham = bin(np.uint64(out.loc[2]) ^ np.uint64(out.loc[52])).count("1")
+    assert ham <= 12                          # one-token mutation stays close
+    rand = bin(np.uint64(out.loc[3]) ^ np.uint64(out.loc[10])).count("1")
+    assert ham < rand or rand > 12
+
+
+def test_token_stats_and_quality():
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["the cat the cat", "", "a b. c!"])})
+    ts = token_stats_batch(t).to_pandas()
+    assert ts["n_tokens"].tolist() == [4, 0, 3]
+    assert ts["n_uniq_tokens"].tolist() == [2, 0, 3]
+    q = quality_batch(t).to_pandas()
+    assert q["stop_ratio"].iloc[0] == 0.5      # 'the' twice of 4
+    assert q["punct_ratio"].iloc[2] == pytest.approx(2 / 7, abs=1e-6)
+
+
+def test_fingerprint_matches_hashlib():
+    import hashlib
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["hello world"])})
+    fp = fingerprint_batch(t).to_pandas()["fp"].iloc[0]
+    assert fp == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_langid_profiles():
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "the cat and the dog of the house",
+            "el gato y la casa de los perros en un lugar",
+            "zzz qqq www",
+        ])})
+    out = LangId()(t).to_pandas()
+    assert out["lang_pred"].tolist()[:2] == ["en", "es"]
+    assert out["lang_pred"].iloc[2] == "und"
+
+
+def test_knn_brute_matches_numpy():
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((100, 8)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(100, dtype=np.int64),
+                       "embedding": list(emb)})
+    ds = ray.data.from_pandas(df)
+    out = knn_brute(ds, [0, 7], k=5).to_pandas()
+    M = emb.astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in (0, 7):
+        sims = np.round(M @ M[q], 6)
+        sims[q] = -np.inf
+        want = np.lexsort((np.arange(100), -sims))[:5]
+        got = out[out.query_id == q].sort_values("rank")["neighbor_id"]
+        assert got.tolist() == want.tolist()
+
+
+def test_blocked_near_dup_planted():
+    rng = np.random.default_rng(4)
+    emb = rng.standard_normal((40, 8)).astype(np.float32)
+    emb[13] = emb[7] + rng.standard_normal(8).astype(np.float32) * 0.01
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": list(emb),
+                       "label": np.zeros(40, dtype=np.int32)})
+    out = blocked_near_dup(ray.data.from_pandas(df), tau=0.95).to_pandas()
+    assert (7, 13) in set(zip(out["vec_a"], out["vec_b"]))

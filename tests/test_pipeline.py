@@ -83,6 +83,43 @@ def test_summary_exact(enriched, oracle_enriched, default_cfg):
                         ["role", "minute", "pattern", "args_abs"])
 
 
+def test_summary_partial_mode_equal(enriched, oracle_enriched, default_cfg):
+    """The pre-combine (salted partial) path equals the direct path and the
+    oracle — salt/shape invariance (SURVEY.md §5.2 check #5)."""
+    from abslog_ray.stages.aggregate import summarize
+    from abslog_ray.pipelines.run import AGG_COLUMNS
+    keep = [c for c in AGG_COLUMNS if c in enriched.schema().names]
+    gapped = with_gaps(enriched.select_columns(keep), default_cfg)
+    got = summarize(gapped, default_cfg, mode="partial").to_pandas()
+    oracle_gapped = oracle.oracle_gaps(oracle_enriched)
+    want = oracle.oracle_summary(oracle_gapped, default_cfg)
+    assert_frames_equal(got, want,
+                        ["role", "minute", "pattern", "args_abs"])
+
+
+def test_summary_sketch_mode_close(enriched, oracle_enriched, default_cfg):
+    """Histogram-sketch quantiles (bounded-memory scale path) are within the
+    bucket relative error of exact; counts/sums stay exact."""
+    import dataclasses
+    from abslog_ray.stages.aggregate import summarize
+    from abslog_ray.pipelines.run import AGG_COLUMNS
+    cfg = dataclasses.replace(default_cfg, exact_quantiles=False)
+    keep = [c for c in AGG_COLUMNS if c in enriched.schema().names]
+    gapped = with_gaps(enriched.select_columns(keep), cfg)
+    got = summarize(gapped, cfg).to_pandas()
+    want = oracle.oracle_summary(oracle.oracle_gaps(oracle_enriched),
+                                 default_cfg)
+    key = ["role", "minute", "pattern", "args_abs"]
+    m = got.merge(want, on=key, suffixes=("", "_w"))
+    assert len(m) == len(want)
+    assert (m["hits"] == m["hits_w"]).all()
+    assert (m["bytes_sum"] == m["bytes_sum_w"]).all()
+    g = m.dropna(subset=["gap_p50_w"])
+    rel = (g["gap_p50"].astype(float) - g["gap_p50_w"].astype(float)).abs() \
+        / g["gap_p50_w"].astype(float)
+    assert rel.max() < 0.02, rel.max()
+
+
 def test_summary_t2_scale(t2_path, default_cfg):
     """Same equality at t2 (60k rows) — more minutes, more collisions."""
     ds = ray.data.read_parquet(t2_path)

@@ -14,7 +14,8 @@ def normalize(df: pd.DataFrame, key_cols) -> pd.DataFrame:
             if not pd.api.types.is_datetime64_any_dtype(df[c]):
                 df[c] = df[c].astype("string")
     df = df[sorted(df.columns)]
-    df = df.sort_values(list(key_cols), kind="mergesort",
+    keys = list(key_cols) if key_cols else list(df.columns)
+    df = df.sort_values(keys, kind="mergesort",
                         na_position="last", ignore_index=True)
     return df
 
