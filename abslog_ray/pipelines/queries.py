@@ -300,6 +300,36 @@ select strftime(minute, '%y%m%d%H') as bucket,
 from s group by 1 order by 1"""
 
 
+# tool -> category lookup used for the enrich broadcast-join query; the SQL
+# mirror inlines it as VALUES, the Ray side broadcasts it into the actor pool
+EVENT_TOOL_CATS = {
+    "click": "ui", "view": "ui", "signup": "account",
+    "purchase": "commerce", "error": "fault",
+}
+
+
+def q_enrich_lookup(sf_dir: str):
+    """T1/J1: stateful actor-pool enrich with broadcast lookup dicts
+    (tool->tool_cat left-lookup; unmatched -> null)."""
+    import dataclasses
+    cfg = dataclasses.replace(_cfg(), tool_lookup=dict(EVENT_TOOL_CATS))
+    ds = build_enriched(_tp(sf_dir), cfg)
+    return ds.select_columns(["conv_id", "turn_idx", "tool", "tool_cat",
+                              "sink"])
+
+
+_LOOKUP_VALUES = ", ".join(f"('{k}', '{v}')"
+                           for k, v in sorted(EVENT_TOOL_CATS.items()))
+_SINK_VALUES = ", ".join(f"('{k}', '{v}')"
+                         for k, v in sorted(ROLE_SINKS.items()))
+
+SQL_ENRICH_LOOKUP = _PRELUDE + f"""
+select conv_id, turn_idx, tool, lk.tool_cat, sk.sink
+from t
+left join (values {_LOOKUP_VALUES}) as lk(tool, tool_cat) using (tool)
+left join (values {_SINK_VALUES}) as sk(role, sink) using (role)"""
+
+
 def q_distinct_tools(sf_dir: str):
     """D3: distinct tool values."""
     vals = sorted(ray.data.read_parquet(
@@ -623,6 +653,7 @@ QUERIES = {
     "top_patterns": (q_top_patterns, SQL_TOP_PATTERNS),
     "pattern_detail": (q_pattern_detail, SQL_PATTERN_DETAIL),
     "distribution_hour": (q_distribution_hour, SQL_DISTRIBUTION_HOUR),
+    "enrich_lookup": (q_enrich_lookup, SQL_ENRICH_LOOKUP),
     "distinct_tools": (q_distinct_tools, SQL_DISTINCT_TOOLS),
     # raw events family
     "top_event_types": (q_top_event_types, SQL_TOP_EVENT_TYPES),

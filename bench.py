@@ -93,8 +93,10 @@ def run_queries() -> dict:
 
 def main():
     if "--scaling" in sys.argv:
+        pair = tuple(int(x) for x in
+                     os.environ.get("GRAFT_SCALE_PAIR", "8,32").split(","))
         results = {}
-        for ncpu in (8, 32):
+        for ncpu in pair:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        BENCH_HEADLINE_ONLY="1")
             out = subprocess.run(
@@ -102,17 +104,18 @@ def main():
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__))).stdout
             results[ncpu] = json.loads(out.strip().splitlines()[-1])
-        thr8 = results[8]["turns_per_sec"]
-        thr32 = results[32]["turns_per_sec"]
+        lo, hi = pair
+        thr_lo = results[lo]["turns_per_sec"]
+        thr_hi = results[hi]["turns_per_sec"]
         print(json.dumps({
             "metric": "scaling_efficiency",
-            "value": round((thr32 / thr8) / 4, 3),
+            "value": round((thr_hi / thr_lo) / (hi / lo), 3),
             "unit": "ratio",
-            "thr_8cpu_turns_per_sec": thr8,
-            "thr_32cpu_turns_per_sec": thr32,
-            "sec_8cpu": results[8]["value"],
-            "sec_32cpu": results[32]["value"],
-            "turns": results[8]["turns"],
+            f"thr_{lo}cpu_turns_per_sec": thr_lo,
+            f"thr_{hi}cpu_turns_per_sec": thr_hi,
+            f"sec_{lo}cpu": results[lo]["value"],
+            f"sec_{hi}cpu": results[hi]["value"],
+            "turns": results[lo]["turns"],
         }))
         return
 

@@ -41,6 +41,10 @@ def t2_path():
 def default_cfg():
     from abslog_ray.config import PipelineConfig
     from abslog_ray.fixtures import TOOL_CATS, ROLE_SINKS
+    # small pools/buckets: the test session has only 4 CPUs, and a (2,16)
+    # autoscaling actor pool churns pending actors there (observed flaky
+    # actor startup under churn)
     return PipelineConfig(tool_lookup=dict(TOOL_CATS),
                           role_lookup=dict(ROLE_SINKS),
-                          gap_buckets=8, agg_buckets=8)
+                          gap_buckets=8, agg_buckets=8,
+                          enrich_concurrency=(1, 2))
