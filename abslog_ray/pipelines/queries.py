@@ -467,6 +467,112 @@ order by l_returnflag, l_linestatus"""
 
 
 # ==========================================================================
+# joins / windows / grouped top-k (engine breadth beyond the reference)
+# ==========================================================================
+
+def q_revenue_by_segment(sf_dir: str):
+    """Partitioned hash join (both sides as Datasets) + aggregate:
+    orders ⋈ customer on custkey → revenue per market segment."""
+    from abslog_ray.stages.join import bucket_join
+    from abslog_ray.stages.aggregate import hash_aggregate
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    joined = bucket_join(orders, cust, on="o_custkey", how="inner",
+                         n_buckets=8)
+    agg = hash_aggregate(joined, ["c_mktsegment"], {
+        "n_orders": ("*", "count"),
+        "revenue_raw": ("o_totalprice", "sum"),
+    }, n_buckets=4).to_pandas()
+    agg["revenue"] = agg["revenue_raw"].round(2)
+    return agg.drop(columns=["revenue_raw"]).sort_values(
+        "c_mktsegment", ignore_index=True)
+
+
+SQL_REVENUE_BY_SEGMENT = """
+select c_mktsegment, count(*) as n_orders,
+  round(sum(o_totalprice), 2) as revenue
+from orders join customer on o_custkey = c_custkey
+group by c_mktsegment order by c_mktsegment"""
+
+
+SESSION_TIMEOUT_US = 600_000_000  # 10 minutes
+
+
+def q_sessions(sf_dir: str):
+    """Session windows per conversation (gap > 10 min starts a session)."""
+    from abslog_ray.stages.windows import sessionize
+    return sessionize(_tp(sf_dir), SESSION_TIMEOUT_US, n_buckets=16)
+
+
+SQL_SESSIONS = _PRELUDE + f"""
+, b as (
+  select conv_id, turn_idx,
+    case when gap_us is null or gap_us > {SESSION_TIMEOUT_US}
+         then 1 else 0 end as nb
+  from g),
+sess as (
+  select conv_id,
+    sum(nb) over (partition by conv_id order by turn_idx
+                  rows unbounded preceding) as sid
+  from b),
+z as (select conv_id, sid, count(*) as m from sess group by 1, 2)
+select conv_id, cast(sum(m) as bigint) as n_turns,
+  count(*) as n_sessions, cast(max(m) as bigint) as max_session_turns
+from z group by conv_id"""
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Grouped top-k: top-2 event types per user by hit count."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.windows import grouped_top_k
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["user_id", "event_type"])
+    counts = hash_aggregate(ev, ["user_id", "event_type"],
+                            {"hits": ("*", "count")}, n_buckets=8)
+    top = grouped_top_k(counts, "user_id", "hits", 2,
+                        tie_cols=["event_type"], n_buckets=8)
+    return top
+
+
+SQL_TOP_EVENTS_PER_USER = """
+with c as (
+  select user_id, event_type, count(*) as hits
+  from events group by 1, 2),
+r as (
+  select *, row_number() over (
+    partition by user_id order by hits desc, event_type) as rank
+  from c)
+select user_id, event_type, hits, cast(rank as bigint) as rank
+from r where rank <= 2"""
+
+
+def q_rich_user_events(sf_dir: str):
+    """Broadcast semi-join: events whose user is a customer with
+    acctbal > 5000 (key set broadcast, filter in map_batches)."""
+    from abslog_ray.stages.join import semi_join
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"]).to_pandas()
+    rich = cust[cust["c_acctbal"] > 5000].rename(
+        columns={"c_custkey": "user_id"})
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_id", "user_id"])
+    return semi_join(ev, rich, on="user_id")
+
+
+SQL_RICH_USER_EVENTS = """
+select event_id, user_id from events
+where user_id in (select c_custkey from customer where c_acctbal > 5000)"""
+
+
+# ==========================================================================
 # documents family: dedup + text analysis
 # ==========================================================================
 
@@ -660,6 +766,11 @@ QUERIES = {
     "event_share": (q_event_share, SQL_EVENT_SHARE),
     # general aggregates
     "q1_lineitem": (q_q1_lineitem, SQL_Q1_LINEITEM),
+    # joins / windows / grouped top-k
+    "revenue_by_segment": (q_revenue_by_segment, SQL_REVENUE_BY_SEGMENT),
+    "sessions": (q_sessions, SQL_SESSIONS),
+    "top_events_per_user": (q_top_events_per_user, SQL_TOP_EVENTS_PER_USER),
+    "rich_user_events": (q_rich_user_events, SQL_RICH_USER_EVENTS),
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

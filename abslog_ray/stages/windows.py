@@ -1,0 +1,86 @@
+"""Window-shaped operators over transcripts (streaming-shaped semantics per
+the Ray guide: the input is a bounded, partitioned log; windows are computed
+per key over sorted groups — no watermarks needed because minute keys come
+from event time, SURVEY.md §2.9).
+
+- ``sessionize``: session windows per conversation — a new session starts
+  when the turn gap exceeds ``timeout_us``.  Same bucket-hash shuffle as the
+  gap stage (conversations stay whole), fully vectorized inside the bucket.
+- ``grouped_top_k``: top-k rows per group by a metric (K1 per-group
+  variant), bucket-hashed on the group key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from abslog_ray.stages.gaps import BUCKET_COL, add_bucket_fn
+
+
+def sessionize(ds, timeout_us: int, n_buckets: int = 64):
+    """-> (conv_id, n_turns, n_sessions, max_session_turns).
+
+    Session boundary: first turn of conv, or gap_us > timeout_us.  Matches
+    the SQL: sum(case when gap is null or gap > T then 1 end) over conv.
+    """
+    ds = ds.map_batches(add_bucket_fn("conv_id", n_buckets),
+                        batch_format="pyarrow")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                            ignore_index=True)
+        conv = df["conv_id"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()
+        n = len(df)
+        first = np.empty(n, dtype=bool)
+        first[0:1] = True
+        first[1:] = conv[1:] != conv[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0:1] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        new_session = first | (~first & (gap > timeout_us))
+        codes, uniq = pd.factorize(pd.Series(conv), sort=False)
+        G = len(uniq)
+        n_turns = np.bincount(codes, minlength=G).astype(np.int64)
+        n_sessions = np.bincount(
+            codes, weights=new_session.astype(np.float64),
+            minlength=G).astype(np.int64)
+        # per-session sizes: boundaries of sessions in the sorted frame
+        sess_id = np.cumsum(new_session) - 1
+        sess_sizes = np.bincount(sess_id)
+        sess_conv = codes[new_session]          # conv code of each session
+        max_sess = np.zeros(G, dtype=np.int64)
+        np.maximum.at(max_sess, sess_conv, sess_sizes)
+        return pd.DataFrame({
+            "conv_id": uniq, "n_turns": n_turns,
+            "n_sessions": n_sessions, "max_session_turns": max_sess,
+        })
+
+    return ds.groupby(BUCKET_COL).map_groups(
+        lambda df: fn(df.drop(columns=[BUCKET_COL])),
+        batch_format="pandas")
+
+
+def grouped_top_k(ds, group_cols, metric: str, k: int,
+                  tie_cols=None, n_buckets: int = 32):
+    """Top-k rows per group ordered by (metric desc, tie_cols asc)."""
+    from abslog_ray.stages.aggregate import add_key_bucket_fn, KEY_BUCKET
+
+    group_cols = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    tie_cols = list(tie_cols or [])
+    ds = ds.map_batches(add_key_bucket_fn(n_buckets, keys=group_cols),
+                        batch_format="pyarrow")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[KEY_BUCKET])
+        df = df.sort_values(group_cols + [metric] + tie_cols,
+                            ascending=[True] * len(group_cols) + [False]
+                            + [True] * len(tie_cols),
+                            kind="mergesort")
+        out = df.groupby(group_cols, sort=False).head(k).copy()
+        out["rank"] = out.groupby(group_cols, sort=False).cumcount() + 1
+        return out
+
+    return ds.groupby(KEY_BUCKET).map_groups(fn, batch_format="pandas")

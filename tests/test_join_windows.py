@@ -1,0 +1,101 @@
+"""Join operators + window-shaped operators vs pandas ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from abslog_ray.stages.join import broadcast_join, bucket_join, semi_join
+from abslog_ray.stages.windows import grouped_top_k, sessionize
+
+from tests.util import assert_frames_equal
+
+
+@pytest.fixture(scope="module")
+def orders_customers():
+    rng = np.random.default_rng(11)
+    orders = pd.DataFrame({
+        "o_id": np.arange(500, dtype=np.int64),
+        "cust": rng.integers(0, 60, 500),
+        "price": rng.integers(1, 1000, 500).astype(np.int64),
+    })
+    cust = pd.DataFrame({
+        "cust": np.arange(50, dtype=np.int64),   # 10 order-cust ids missing
+        "seg": rng.choice(["A", "B", "C"], 50),
+    })
+    return orders, cust
+
+
+def test_bucket_join_inner_left(orders_customers):
+    orders, cust = orders_customers
+    lds = ray.data.from_pandas(orders)
+    rds = ray.data.from_pandas(cust)
+    for how in ("inner", "left"):
+        got = bucket_join(lds, rds, on="cust", how=how,
+                          n_buckets=4).to_pandas()
+        want = orders.merge(cust, on="cust", how=how)
+        assert_frames_equal(got, want, key_cols=None)
+
+
+def test_bucket_join_shared_column_suffix():
+    l = pd.DataFrame({"k": [1, 2], "v": [10, 20]})
+    r = pd.DataFrame({"k": [1, 2], "v": [30, 40]})
+    got = bucket_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                      on="k", n_buckets=2).to_pandas()
+    assert sorted(got.columns) == ["k", "v", "v_r"]
+
+
+def test_broadcast_join(orders_customers):
+    orders, cust = orders_customers
+    got = broadcast_join(ray.data.from_pandas(orders), cust,
+                         on="cust", how="left").to_pandas()
+    want = orders.merge(cust, on="cust", how="left")
+    assert_frames_equal(got, want, key_cols=None)
+
+
+def test_semi_and_anti_join(orders_customers):
+    orders, cust = orders_customers
+    ds = ray.data.from_pandas(orders)
+    semi = semi_join(ds, cust, on="cust").to_pandas()
+    anti = semi_join(ds, cust, on="cust", anti=True).to_pandas()
+    in_set = orders["cust"].isin(cust["cust"])
+    assert len(semi) == int(in_set.sum())
+    assert len(anti) == int((~in_set).sum())
+    assert len(semi) + len(anti) == len(orders)
+
+
+def test_sessionize_matches_pandas(t1_path):
+    ds = ray.data.read_parquet(t1_path)
+    timeout = 2_000_000  # 2s — fixture gaps are lognormal around 0.5s
+    got = sessionize(ds, timeout, n_buckets=4).to_pandas()
+
+    df = ray.data.read_parquet(t1_path).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    gap = df["ts"].astype("int64").groupby(df["conv_id"]).diff()
+    nb = gap.isna() | (gap > timeout)
+    sid = nb.cumsum()
+    z = df.groupby(["conv_id", sid]).size()
+    want = pd.DataFrame({
+        "n_turns": z.groupby("conv_id").sum(),
+        "n_sessions": z.groupby("conv_id").size(),
+        "max_session_turns": z.groupby("conv_id").max(),
+    }).reset_index()
+    assert_frames_equal(got, want, ["conv_id"])
+    assert (got["n_sessions"] > 1).any()   # timeout actually splits
+
+
+def test_grouped_top_k():
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 20, 400),
+        "item": np.arange(400, dtype=np.int64),
+        "score": rng.integers(0, 100, 400).astype(np.int64),
+    })
+    got = grouped_top_k(ray.data.from_pandas(df), "g", "score", 3,
+                        tie_cols=["item"], n_buckets=4).to_pandas()
+    want = (df.sort_values(["g", "score", "item"],
+                           ascending=[True, False, True])
+              .groupby("g").head(3))
+    want = want.assign(rank=want.groupby("g").cumcount() + 1)
+    assert_frames_equal(got, want, key_cols=None)
