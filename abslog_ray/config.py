@@ -80,6 +80,9 @@ class PipelineConfig:
     checkpoint_dir: Optional[str] = None   # manifest location
     chunk_files: int = 64                  # input fragments per resumable chunk
     min_rows_per_file: int = 500_000
+    # bounded write fan-out: files per sink ≈ write_concurrency × partition
+    # dirs touched; unbounded task counts explode into tiny files
+    write_concurrency: int = 8
 
     # --- lookups (broadcast small side, SURVEY.md §2 T1/J1) ---
     tool_lookup: dict = field(default_factory=dict)   # tool -> tool_cat

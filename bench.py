@@ -74,9 +74,31 @@ def run_headline() -> dict:
                             cfg)
     n_summary = summary.count()
     wall = time.time() - t0
+
+    # full EP1 with routed/summary/totals sinks + manifest (resumable shape);
+    # skipped in scaling subruns, which time the flagship alone
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        return {"turns": n_turns, "summary_rows": n_summary,
+                "wall_sec": round(wall, 3),
+                "turns_per_sec": round(n_turns / wall, 1),
+                "ep1_sinks_wall_sec": None,
+                "ep1_sinks_turns_per_sec": None}
+    import dataclasses
+    import shutil
+    from abslog_ray.pipelines.run import run_pipeline
+    sink = "/tmp/abslog_bench_sinks"
+    shutil.rmtree(sink, ignore_errors=True)
+    cfg2 = dataclasses.replace(cfg, sink_root=sink, chunk_files=48)
+    t0 = time.time()
+    run_pipeline(bench_path, cfg2)
+    ep1_wall = time.time() - t0
+    shutil.rmtree(sink, ignore_errors=True)
+
     return {"turns": n_turns, "summary_rows": n_summary,
             "wall_sec": round(wall, 3),
-            "turns_per_sec": round(n_turns / wall, 1)}
+            "turns_per_sec": round(n_turns / wall, 1),
+            "ep1_sinks_wall_sec": round(ep1_wall, 3),
+            "ep1_sinks_turns_per_sec": round(n_turns / ep1_wall, 1)}
 
 
 def run_queries() -> dict:
@@ -131,6 +153,8 @@ def main():
         "turns": head["turns"],
         "turns_per_sec": head["turns_per_sec"],
         "summary_rows": head["summary_rows"],
+        "ep1_sinks_wall_sec": head["ep1_sinks_wall_sec"],
+        "ep1_sinks_turns_per_sec": head["ep1_sinks_turns_per_sec"],
     }))
     import ray
     ray.shutdown()
