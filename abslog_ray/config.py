@@ -88,6 +88,12 @@ class PipelineConfig:
     tool_lookup: dict = field(default_factory=dict)   # tool -> tool_cat
     role_lookup: dict = field(default_factory=dict)   # role -> sink name
 
+    # --- user extension surface (SURVEY.md §2 X2) ---
+    # ordered custom stages inserted AFTER enrich, BEFORE routing/aggregate.
+    # Each entry is either fn(pa.Table)->pa.Table (stateless task stage) or
+    # a callable CLASS (stateful actor-pool stage, like Enricher).
+    extra_stages: tuple = ()
+
     # conversations are assumed bounded (FIXTURES.md clips at 1000 turns);
     # a conversation longer than this raises in the gap stage rather than
     # silently blowing a bucket's memory (SURVEY.md §4.2 giant-conv guard).

@@ -396,6 +396,15 @@ select event_type, count(*) as hits,
 from events group by event_type order by hits desc, event_type limit 10"""
 
 
+def q_approx_uniq_users(sf_dir: str):
+    """A3 scale path: HLL approximate distinct users per event type
+    (±~1.6% at p=12; rows-only check — pytest asserts accuracy vs exact)."""
+    from abslog_ray.sketches import hll_distinct
+    ds = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id")
+
+
 def q_event_share(sf_dir: str):
     """J2: per-type hit share of total (single exact division, round 6)."""
     ds = ray.data.read_parquet(_events(sf_dir), columns=["event_type"])
@@ -764,6 +773,7 @@ QUERIES = {
     # raw events family
     "top_event_types": (q_top_event_types, SQL_TOP_EVENT_TYPES),
     "event_share": (q_event_share, SQL_EVENT_SHARE),
+    "approx_uniq_users": (q_approx_uniq_users, None),
     # general aggregates
     "q1_lineitem": (q_q1_lineitem, SQL_Q1_LINEITEM),
     # joins / windows / grouped top-k

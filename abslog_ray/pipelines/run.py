@@ -92,6 +92,13 @@ def build_enriched(ds, cfg: PipelineConfig):
         fn_constructor_args=(cfg.abstraction_rules, cfg.args_rule,
                              cfg.tool_lookup, cfg.role_lookup),
     )
+    for stage in cfg.extra_stages:
+        # X2 extension surface: classes become actor pools, fns become tasks
+        if isinstance(stage, type):
+            ds = ds.map_batches(stage, batch_format="pyarrow",
+                                concurrency=cfg.enrich_concurrency)
+        else:
+            ds = ds.map_batches(stage, batch_format="pyarrow")
     return ds
 
 

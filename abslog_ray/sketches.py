@@ -1,0 +1,108 @@
+"""Mergeable sketches for 10^12-scale approximations (SURVEY.md §2 A3 notes
+the exact-distinct path is required for equality checks while HLL is the
+documented scale alternative; this module provides it).
+
+HyperLogLog, vectorized: registers are a dense uint8 array; adding a batch
+of 64-bit hashes is pure numpy (top-p bits pick the register, leading-zero
+rank of the rest via a branchless binary CLZ).  Sketches merge by
+elementwise max — the shape that drops into the engine's two-phase
+aggregate (one sketch per key per batch, max-merge in the finalize).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (w == 0 -> 64)."""
+    w = w.astype(np.uint64)
+    cur = w.copy()
+    acc = np.zeros(w.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        high = cur >> np.uint64(s)
+        has_high = high != 0
+        acc = np.where(has_high, acc, acc + s)
+        cur = np.where(has_high, high, cur)
+    return np.where(w == 0, 64, acc)
+
+
+class HLL:
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.reg = (registers if registers is not None
+                    else np.zeros(self.m, dtype=np.uint8))
+
+    def add_hashed(self, h: np.ndarray) -> "HLL":
+        h = h.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h << np.uint64(self.p)
+        rank = np.minimum(_clz64(w) + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.reg, idx, rank)
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        np.maximum(self.reg, other.reg, out=self.reg)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.reg.astype(np.float64)))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.reg == 0))
+            if zeros:
+                est = m * np.log(m / zeros)   # linear counting
+        return float(est)
+
+
+def hll_distinct(ds, keys, col: str, p: int = 12, n_buckets: int = 16):
+    """Per-key approximate distinct count of `col` — the HLL drop-in for the
+    exact distinct path.  One sketch per key per batch; sketches max-merge
+    in a bucket-hashed finalize.  ±~1.6% typical error at p=12."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [col]).to_pandas()
+        codes, uniq = pd.MultiIndex.from_frame(df[keys]).factorize(
+            sort=False)
+        G = len(uniq)
+        h = pd.util.hash_array(
+            df[col].to_numpy().astype(object, copy=False)).astype(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)
+        rank = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+        regs = np.zeros((G, m), dtype=np.uint8)
+        np.maximum.at(regs, (codes, idx), rank)
+        offs = np.arange(G + 1, dtype=np.int32) * m
+        out = {k: pa.array(uniq.get_level_values(i))
+               for i, k in enumerate(keys)}
+        out["hll"] = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(regs.reshape(-1)))
+        return pa.table(out)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[KEY_BUCKET])
+        recs = []
+        for kv, g in df.groupby(keys, sort=True):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            regs = np.maximum.reduce(
+                [np.asarray(r, dtype=np.uint8) for r in g["hll"]])
+            est = HLL(p, regs).estimate()
+            recs.append({**dict(zip(keys, kv)),
+                         "approx_uniq": int(round(est))})
+        return pd.DataFrame(recs)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = parts.map_batches(add_key_bucket_fn(n_buckets, keys=keys),
+                              batch_format="pyarrow")
+    return parts.groupby(KEY_BUCKET).map_groups(finalize,
+                                                batch_format="pandas")

@@ -1,0 +1,49 @@
+"""HLL sketch: accuracy, mergeability, and the distributed per-key path."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from abslog_ray.sketches import HLL, _clz64, hll_distinct
+
+
+def test_clz64():
+    vals = np.array([0, 1, 2, 3, 2**63, 2**62, 2**32, 12345], dtype=np.uint64)
+    want = [64, 63, 62, 62, 0, 1, 31, 50]
+    assert _clz64(vals).tolist() == want
+
+
+@pytest.mark.parametrize("n", [100, 10_000, 200_000])
+def test_hll_accuracy(n):
+    rng = np.random.default_rng(n)
+    h = rng.integers(0, 2**64, n, dtype=np.uint64)
+    h = np.unique(h)
+    est = HLL(p=12).add_hashed(h).estimate()
+    assert abs(est - len(h)) / len(h) < 0.05
+
+
+def test_hll_merge_equals_single_shot():
+    rng = np.random.default_rng(0)
+    h = rng.integers(0, 2**64, 50_000, dtype=np.uint64)
+    single = HLL(p=12).add_hashed(h)
+    merged = HLL(p=12).add_hashed(h[:20_000]).merge(
+        HLL(p=12).add_hashed(h[20_000:]))
+    assert np.array_equal(single.reg, merged.reg)
+    assert single.estimate() == merged.estimate()
+
+
+def test_hll_distinct_per_key():
+    rng = np.random.default_rng(7)
+    n = 60_000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 5000, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = hll_distinct(ds, "k", "v", n_buckets=2).to_pandas()
+    want = df.groupby("k")["v"].nunique()
+    for _, row in got.iterrows():
+        exact = want[row["k"]]
+        assert abs(row["approx_uniq"] - exact) / exact < 0.05, row
