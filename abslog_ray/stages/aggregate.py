@@ -83,6 +83,10 @@ def make_partial_summary_fn(exact_quantiles: bool = True):
         gap_col = t["gap_us"]
         if isinstance(gap_col, pa.ChunkedArray):
             gap_col = gap_col.combine_chunks()
+        # an all-null bucket arrives as Arrow `null` type (pandas all-NA
+        # Int64 via Ray's block conversion); cast so fill_null works
+        if not pa.types.is_int64(gap_col.type):
+            gap_col = pc.cast(gap_col, pa.int64())
         gmask = gap_col.is_valid().to_numpy(zero_copy_only=False)
         gvals = np.asarray(gap_col.fill_null(0))[gmask]
         gcodes = codes[gmask]
@@ -283,6 +287,10 @@ def make_direct_summary_fn(quantiles):
         gap_col = t["gap_us"]
         if isinstance(gap_col, pa.ChunkedArray):
             gap_col = gap_col.combine_chunks()
+        # an all-null bucket arrives as Arrow `null` type (pandas all-NA
+        # Int64 via Ray's block conversion); cast so fill_null works
+        if not pa.types.is_int64(gap_col.type):
+            gap_col = pc.cast(gap_col, pa.int64())
         gmask = gap_col.is_valid().to_numpy(zero_copy_only=False)
         gvals = np.asarray(gap_col.fill_null(0))[gmask]
         gcodes = codes[gmask]
