@@ -32,7 +32,6 @@ import ray
 import ray.data
 
 from abslog_ray.config import (
-    DEFAULT_ARGS_RULE,
     DEFAULT_PARSE_PATTERN,
     DEFAULT_SEGMENT_RULE,
     PipelineConfig,

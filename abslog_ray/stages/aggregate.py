@@ -29,8 +29,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from abslog_ray.quantiles import quantile_disc_index
-
 SUMMARY_KEYS = ["role", "minute", "pattern", "args_abs"]
 KEY_BUCKET = "__kbucket"
 
