@@ -177,12 +177,31 @@ select conv_id, turn_idx, pattern, args_abs from e"""
 
 
 def q_gaps(sf_dir: str):
-    """J3: per-turn gap latency proxy."""
+    """J3: per-turn gap latency proxy.
+
+    The FINAL projection casts gap_us to float64 (engine-internal gaps stay
+    exact int64 µs): SQL ``lag`` yields a nullable BIGINT that pandas
+    renders as float64/NaN, while Ray's pandas-block ``Int64`` kept its
+    extension dtype — identical values, different driver hash
+    (CORRECTNESS_r01).  A double column with NaN nulls is
+    representation-stable across both the arrow and pandas fetch paths of
+    both engines; the SQL mirror casts to double to match.
+    """
     ds = with_gaps(_tp(sf_dir), _cfg())
-    return ds.select_columns(["conv_id", "turn_idx", "gap_us"])
+    ds = ds.select_columns(["conv_id", "turn_idx", "gap_us"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("gap_us")
+        t = t.set_column(i, "gap_us", pc.cast(t["gap_us"], pa.float64()))
+        # drop the pandas-block metadata (records the pre-cast Int64
+        # extension dtype, which to_pandas would otherwise restore)
+        return t.replace_schema_metadata(None)
+
+    return ds.map_batches(canon, batch_format="pyarrow")
 
 
-SQL_GAPS = _PRELUDE + " select conv_id, turn_idx, gap_us from g"
+SQL_GAPS = _PRELUDE + \
+    " select conv_id, turn_idx, cast(gap_us as double) as gap_us from g"
 
 
 def q_routed_counts(sf_dir: str):
@@ -206,36 +225,28 @@ select role, minute, count(*) as total_hits,
 from f group by role, minute"""
 
 
-def _merge_exact(df: pd.DataFrame, by: list) -> pd.DataFrame:
-    """A6 merge with exact integer weighted quantile sums."""
-    g = df.groupby(by, sort=True)
-    out = pd.DataFrame({
-        "hits": g["hits"].sum(),
-        "uniq_convs_ub": g["uniq_convs"].sum(),
-        "err_hits": g["err_hits"].sum(),
-        "bytes_sum": g["bytes_sum"].sum(),
-        "gap_count": g["gap_count"].sum(),
-    })
-    for q in ("gap_p25", "gap_p50", "gap_p75", "gap_p95"):
-        w = df[q].astype("Int64") * df["gap_count"]
-        out[f"gap_wsum_{q[4:]}"] = w.groupby(
-            [df[c] for c in by]).sum(min_count=1).astype("Int64")
-    out = out.reset_index()
-    for c in ("hits", "uniq_convs_ub", "err_hits", "bytes_sum", "gap_count"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
 def q_top_patterns(sf_dir: str):
     """K1+A6+J2: top-10 patterns by hits over the whole range, with exact
-    weighted-quantile sums and %-of-total."""
-    summary = build_summary(_enriched(sf_dir), _cfg()).to_pandas()
-    m = _merge_exact(summary, ["pattern"])
-    total = int(m["hits"].sum())
-    m["hits_pct"] = np.round(m["hits"] * 100.0 / total, 6)
-    m = m.sort_values(["hits", "pattern"], ascending=[False, True],
-                      kind="mergesort").head(10).reset_index(drop=True)
-    return m
+    weighted-quantile sums and %-of-total.
+
+    Fully distributed: the per-minute summary feeds the two-phase
+    ``merge_exact_wsums`` (only pre-reduced partials shuffle), the %-of-
+    total is a 1-row broadcast aggregate, and only the merged per-pattern
+    table (|patterns| rows, materialized once so the pct pass doesn't
+    recompute it) plus the final top-10 ever leave the cluster."""
+    from abslog_ray.pipelines.show import merge_exact_wsums
+    summary = build_summary(_enriched(sf_dir), _cfg())
+    merged = merge_exact_wsums(summary, by=("pattern",)).materialize()
+    from ray.data.aggregate import Sum
+    total = int(merged.aggregate(Sum("hits", alias_name="t"))["t"])
+
+    def add_pct(t: pa.Table) -> pa.Table:
+        pct = pc.round(pc.multiply(pc.divide(
+            pc.cast(t["hits"], pa.float64()), float(total)), 100.0), 6)
+        return t.append_column("hits_pct", pct)
+
+    out = merged.map_batches(add_pct, batch_format="pyarrow")
+    return out.sort(["hits", "pattern"], descending=[True, False]).limit(10)
 
 
 SQL_TOP_PATTERNS = _PRELUDE + """
@@ -261,12 +272,17 @@ DETAIL_PATTERN = "purchase:/api/purchase/*"
 
 
 def q_pattern_detail(sf_dir: str):
-    """K2: args_abs drill-down within one pattern."""
-    summary = build_summary(_enriched(sf_dir), _cfg()).to_pandas()
-    d = summary[summary["pattern"] == DETAIL_PATTERN]
-    m = _merge_exact(d, ["args_abs"])
-    return m.sort_values(["hits", "args_abs"], ascending=[False, True],
-                         kind="mergesort").reset_index(drop=True)
+    """K2: args_abs drill-down within one pattern — same distributed
+    merge as q_top_patterns over the pattern-filtered summary."""
+    from abslog_ray.pipelines.show import merge_exact_wsums
+    summary = build_summary(_enriched(sf_dir), _cfg())
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["pattern"], DETAIL_PATTERN))
+
+    d = summary.map_batches(flt, batch_format="pyarrow")
+    m = merge_exact_wsums(d, by=("args_abs",))
+    return m.sort(["hits", "args_abs"], descending=[True, False])
 
 
 SQL_PATTERN_DETAIL = _PRELUDE + f"""

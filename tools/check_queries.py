@@ -2,7 +2,13 @@
 the same sf dir, compare row count + schema + values (order-insensitive,
 columns sorted by name) — a stand-in for the driver's CORRECTNESS check.
 
-Usage: python tools/check_queries.py [sf_dir] [query ...]
+Usage: python tools/check_queries.py [--strict] [sf_dir] [query ...]
+
+--strict additionally requires IDENTICAL pandas dtypes and a dtype-sensitive
+value hash between the engine result (``Dataset.to_pandas()``) and the
+oracle (``duckdb .df()``) — the representation-level equality the driver's
+hash_match evidently checks (CORRECTNESS_r01 ``gaps``: values equal, hash
+differed on Int64/pd.NA vs float64/NaN).
 """
 
 import os
@@ -46,9 +52,23 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def strict_norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-mimic canonicalization: sort columns by name + rows by value,
+    but keep dtypes exactly as fetched (no numeric coercion)."""
+    df = df[sorted(df.columns)].copy()
+    key = df.astype(str)
+    order = key.sort_values(list(key.columns), kind="mergesort",
+                            na_position="last").index
+    return df.loc[order].reset_index(drop=True)
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    strict = "--strict" in argv
+    if strict:
+        argv.remove("--strict")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import ray
     if not ray.is_initialized():
@@ -70,7 +90,8 @@ def main():
             continue
         t0 = time.time()
         try:
-            got = norm(to_pandas(fn(sf_dir)))
+            raw_got = to_pandas(fn(sf_dir))
+            got = norm(raw_got)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: ray error: {type(e).__name__}: {e}")
@@ -82,7 +103,8 @@ def main():
             continue
         t0 = time.time()
         try:
-            want = norm(con.execute(sql).df())
+            raw_want = con.execute(sql).df()
+            want = norm(raw_want)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: sql error: {e}")
@@ -99,6 +121,22 @@ def main():
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False)
                 detail = f"{len(got)} rows"
+                if strict:
+                    sg, sw = strict_norm(raw_got), strict_norm(raw_want)
+                    if [str(t) for t in sg.dtypes] != \
+                            [str(t) for t in sw.dtypes]:
+                        status = "FAIL"
+                        detail = (f"strict dtypes {list(map(str, sg.dtypes))}"
+                                  f" vs {list(map(str, sw.dtypes))}")
+                    else:
+                        try:
+                            pd.testing.assert_frame_equal(
+                                sg, sw, check_dtype=True, check_exact=True)
+                            detail += " [strict]"
+                        except AssertionError as e:
+                            status = "FAIL"
+                            detail = ("strict values differ: "
+                                      + str(e).split("\n")[0])
             except AssertionError as e:
                 status = "FAIL"
                 detail = "values differ: " + str(e).split("\n")[0]
