@@ -93,22 +93,40 @@ def knn_brute(ds, query_ids, k: int = 10, id_col="vec_id", col="embedding"):
 
 
 def blocked_near_dup(ds, tau: float = 0.95, block_col="label",
-                     id_col="vec_id", col="embedding"):
+                     id_col="vec_id", col="embedding",
+                     tile_rows: int = 1024):
     """Embedding-cosine near-dup pairs within coarse blocks (IVF-style:
-    pairs across blocks are assumed dissimilar).  Exact within block."""
+    pairs across blocks are assumed dissimilar).  Exact within block.
+
+    The within-block similarity matrix is computed in TILES of
+    ``tile_rows`` query rows against the full block (VERDICT r01 "What's
+    wrong #5"): peak memory is O(tile_rows · block) instead of O(block²),
+    so a hot block cannot OOM a worker.  Output is identical to the
+    whole-matrix version (row-major upper-triangle order)."""
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         M = _normalize(np.stack(df[col].to_numpy()[order]).astype(np.float64))
-        sims = np.round(M @ M.T, 6)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= tau
+        b = len(ids)
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, b, tile_rows):
+            i1 = min(i0 + tile_rows, b)
+            sims = np.round(M[i0:i1] @ M.T, 6)          # (tile, b)
+            ii_loc, jj = np.nonzero(sims >= tau)
+            ii = ii_loc + i0
+            keep = jj > ii                              # upper triangle only
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_s.append(sims[ii_loc[keep], jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        bcol = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        s = np.concatenate(out_s) if out_s else np.array([], np.float64)
         return pd.DataFrame({
-            "vec_a": ids[ii[keep]].astype(np.int64),
-            "vec_b": ids[jj[keep]].astype(np.int64),
-            "sim": sims[ii[keep], jj[keep]],
+            "vec_a": a.astype(np.int64),
+            "vec_b": bcol.astype(np.int64),
+            "sim": s,
         })
 
     return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")

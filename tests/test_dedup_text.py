@@ -82,6 +82,43 @@ def test_minhash_recall_and_precision(docs_with_dupes):
     assert (0, 50) in approx_pairs and (1, 51) in approx_pairs
 
 
+def test_jaccard_mega_shingle_guard():
+    """Adversarial df-skew fixture (VERDICT r01 next-round #4): one shingle
+    shared by every doc must not drive C(m,2) pair expansion.  With the cap
+    below m the run completes, drops only the hot shingle's contribution,
+    and still finds the planted near-dup via its other shingles."""
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(2000)])
+    n_docs = 400
+    texts = ["HOT COMMON GRAM " + " ".join(rng.choice(vocab, 30))
+             for _ in range(n_docs)]
+    texts.append(texts[0])                      # planted exact dup
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    ds = ray.data.from_pandas(df)
+    out = jaccard_pairs(ds, n=3, tau=0.5, max_shingle_df=50).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, n_docs) in pairs
+    # the hot shingle alone may no longer connect unrelated docs
+    assert all(b - a == n_docs or (a, b) == (0, n_docs) for a, b in pairs
+               if (a, b) == (0, n_docs)) and len(pairs) >= 1
+    # capped run emits far fewer candidate pairs than the uncapped C(m,2)
+    uncapped_worst = (n_docs + 1) * n_docs // 2
+    assert len(out) < uncapped_worst / 100
+
+
+def test_minhash_matches_exact_on_planted(docs_with_dupes):
+    """Distributed verify parity: output pairs AND jac values equal the
+    exact jaccard_pairs restriction to LSH candidates."""
+    ds = ray.data.from_pandas(docs_with_dupes)
+    exact = jaccard_pairs(ds, n=3, tau=0.5).to_pandas()
+    approx = minhash_lsh_dupes(ds, n=3, tau=0.5).to_pandas()
+    em = {(a, b): j for a, b, j in
+          zip(exact["doc_a"], exact["doc_b"], exact["jac"])}
+    for a, b, j in zip(approx["doc_a"], approx["doc_b"], approx["jac"]):
+        assert em[(a, b)] == j
+
+
 def test_simhash_close_for_near_dups(docs_with_dupes):
     t = pa.Table.from_pandas(docs_with_dupes, preserve_index=False)
     out = simhash_batch(t).to_pandas().set_index("doc_id")["simhash"]
@@ -150,3 +187,24 @@ def test_blocked_near_dup_planted():
                        "label": np.zeros(40, dtype=np.int32)})
     out = blocked_near_dup(ray.data.from_pandas(df), tau=0.95).to_pandas()
     assert (7, 13) in set(zip(out["vec_a"], out["vec_b"]))
+
+
+def test_blocked_near_dup_tiling_equivalence():
+    """A block larger than the tile must produce identical pairs whether
+    tiled (tile_rows < block) or whole-matrix (tile_rows >= block)."""
+    rng = np.random.default_rng(9)
+    n = 300
+    emb = rng.standard_normal((n, 8)).astype(np.float32)
+    for i in range(0, 30, 3):                   # plant 10 near-dup pairs
+        emb[i + 1] = emb[i] + rng.standard_normal(8).astype(np.float32) * 0.01
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(emb),
+                       "label": np.zeros(n, dtype=np.int32)})
+    ds = ray.data.from_pandas(df)
+    tiled = blocked_near_dup(ds, tau=0.9, tile_rows=64).to_pandas()
+    whole = blocked_near_dup(ds, tau=0.9, tile_rows=10_000).to_pandas()
+    key = ["vec_a", "vec_b"]
+    pd.testing.assert_frame_equal(
+        tiled.sort_values(key, ignore_index=True),
+        whole.sort_values(key, ignore_index=True))
+    assert len(tiled) >= 10
