@@ -412,12 +412,36 @@ from events group by event_type order by hits desc, event_type limit 10"""
 
 
 def q_approx_uniq_users(sf_dir: str):
-    """A3 scale path: HLL approximate distinct users per event type
-    (±~1.6% at p=12; rows-only check — pytest asserts accuracy vs exact)."""
+    """A3 scale path, driver-checkable: HLL approximate distinct users per
+    event type, surfaced as a CONTRACT the DuckDB oracle can verify — the
+    exact distributed distinct count plus ``hll_ok`` = (relative HLL error
+    ≤ 5%, comfortably above the ±~1.6% typical at p=12).  The sketch value
+    itself is not SQL-computable (SipHash registers), so the oracle checks
+    the exact count and that the accuracy bound held (VERDICT r01 next-
+    round #5: surface the pytest contract driver-visibly)."""
     from abslog_ray.sketches import hll_distinct
+    from abslog_ray.stages.aggregate import hash_aggregate
     ds = ray.data.read_parquet(_events(sf_dir),
                                columns=["event_type", "user_id"])
-    return hll_distinct(ds, "event_type", "user_id")
+    approx = hll_distinct(ds, "event_type", "user_id").to_pandas()
+    # exact distributed distinct: dedup pairs, then count per type — both
+    # phases are pre-combined two-phase hash aggregates
+    pairs = hash_aggregate(ds, ["event_type", "user_id"],
+                           {"n": ("*", "count")})
+    exact = hash_aggregate(pairs, ["event_type"],
+                           {"uniq_users": ("*", "count")}).to_pandas()
+    m = exact.merge(approx, on="event_type")
+    rel_err = (m["approx_uniq"] - m["uniq_users"]).abs() / m["uniq_users"]
+    m["uniq_users"] = m["uniq_users"].astype("int64")
+    m["hll_ok"] = rel_err <= 0.05
+    return (m[["event_type", "uniq_users", "hll_ok"]]
+            .sort_values("event_type", ignore_index=True))
+
+
+SQL_APPROX_UNIQ_USERS = """
+select event_type, cast(count(distinct user_id) as bigint) as uniq_users,
+  true as hll_ok
+from events group by event_type order by event_type"""
 
 
 def q_event_share(sf_dir: str):
@@ -689,24 +713,112 @@ where i * 1.0 / (sa.n + sb.n - i) >= 0.5"""
 
 
 def q_minhash_dupes(sf_dir: str):
-    """MinHash+LSH near-dup candidates, exact-Jaccard verified (tau=0.5).
-    Approximate recall by construction — rows-only driver check; pytest
-    asserts candidates ⊆ exact pairs and recall on planted dupes."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (tau=0.5).
+
+    Oracle: the exact-Jaccard pair SQL.  LSH is approximate-recall by
+    construction, but on the driver tables the seeded 64-perm/16-band
+    configuration recalls every above-tau pair (verified at sf0.001 and
+    sf0.01), and verification makes precision exact — so the deterministic
+    output equals the exact pair set on this input and DuckDB can check it
+    value-level.  The general recall/precision contract (candidates ⊆
+    exact, planted-dup recall) stays pinned in pytest for other inputs."""
     from abslog_ray.stages.dedup import minhash_lsh_dupes
-    return minhash_lsh_dupes(_docs(sf_dir), n=3, tau=0.5)
+    ds = minhash_lsh_dupes(_docs(sf_dir), n=3, tau=0.5)
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "jac": pc.cast(t["jac"], pa.float64()),
+        })
+
+    if isinstance(ds, pa.Table):          # empty-candidate short-circuit
+        return ds
+    return ds.map_batches(canon, batch_format="pyarrow")
 
 
 def q_simhash(sf_dir: str):
-    """SimHash 64-bit fingerprints (deterministic; rows-only check)."""
-    from abslog_ray.stages.dedup import simhash
-    return simhash(_docs(sf_dir))
+    """SimHash fingerprints with a FULL value-level DuckDB oracle: the
+    md5-derived token hash (first 16 md5 hex chars as uint64) is computable
+    in SQL, so the whole sign-of-summed-±1-bits construction is mirrored
+    bit-for-bit.  Output is the fingerprint split into two non-negative
+    int64 halves (sim_hi = bits 32..63, sim_lo = bits 0..31) so SQL can
+    assemble it without signed-shift overflow.  The engine's scale default
+    stays the vectorized SipHash hash (stages/dedup.simhash)."""
+    from abslog_ray.stages.dedup import simhash_hilo_batch
+    return _docs(sf_dir).map_batches(
+        lambda b: simhash_hilo_batch(b, hash_fn="md5"),
+        batch_format="pyarrow")
+
+
+SQL_SIMHASH = r"""
+with tk as (
+  select doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as tok
+  from documents),
+h as (
+  select doc_id,
+    cast(('0x' || substr(md5(tok), 1, 16)) as ubigint) as hv
+  from tk),
+bits as (
+  select doc_id, k,
+    sum(case when (hv >> k) & 1 = 1 then 1 else -1 end) as s
+  from h, (select unnest(generate_series(0, 63)) as k)
+  group by doc_id, k),
+asm as (
+  select doc_id,
+    cast(sum(case when s > 0 and k >= 32 then 1::bigint << (k - 32)
+                  else 0 end) as bigint) as sim_hi,
+    cast(sum(case when s > 0 and k < 32 then 1::bigint << k
+                  else 0 end) as bigint) as sim_lo
+  from bits group by doc_id)
+select d.doc_id, coalesce(a.sim_hi, 0) as sim_hi,
+  coalesce(a.sim_lo, 0) as sim_lo
+from documents d left join asm a using (doc_id)"""
 
 
 def q_langid(sf_dir: str):
-    """Heuristic language-ID (stopword profiles; rows-only check)."""
+    """Heuristic language-ID (stopword profiles, actor pool).  Full SQL
+    oracle: profile-word occurrence counting and the argmax tie-break
+    (first language in sorted order wins) are both SQL-expressible."""
     from abslog_ray.functions.text import LangId
     return _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
                                      concurrency=2)
+
+
+def _langid_sql() -> str:
+    """SQL mirror generated from LANG_PROFILES so the two stay in
+    lockstep: score per language = count of profile-word occurrences in
+    the lowercased whitespace tokens; argmax with first-in-sorted-order
+    tie-break (== np.argmax over the sorted language axis)."""
+    from abslog_ray.functions.text import LANG_PROFILES
+    langs = [l for l in sorted(LANG_PROFILES) if LANG_PROFILES[l]]
+    score_exprs = []
+    for l in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[l]))
+        score_exprs.append(
+            f"cast(len(list_filter(toks, x -> x in ({words}))) as bigint)"
+            f" as s_{l}")
+    all_s = ", ".join(f"s_{l}" for l in langs)
+    # argmax, ties to the earliest language in sorted order
+    branches = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " and ".join(f"s_{l} >= s_{r}" for r in langs[i + 1:])
+        branches.append(f"when {conds} then '{l}'")
+    case = ("case when greatest(" + all_s + ") = 0 then 'und' "
+            + " ".join(branches) + f" else '{langs[-1]}' end")
+    return rf"""
+with tk as (
+  select doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') as toks
+  from documents),
+sc as (select doc_id, {', '.join(score_exprs)} from tk)
+select doc_id, {case} as lang_pred,
+  greatest({all_s}) as lang_score
+from sc"""
+
+
+SQL_LANGID = _langid_sql()
 
 
 # ==========================================================================
@@ -763,9 +875,52 @@ where round(list_cosine_similarity(
 
 
 def q_lsh_ann(sf_dir: str):
-    """LSH-bucketed approximate KNN (scale path; rows-only check)."""
+    """LSH-bucketed approximate KNN (scale path) — now with a FULL DuckDB
+    oracle: the hyperplanes come from an integer LCG recurrence
+    (stages/similarity.lcg_planes) that SQL reproduces exactly, so the
+    bucketing, the probe and the in-bucket top-k are all value-checkable."""
     from abslog_ray.stages.similarity import lsh_ann
     return lsh_ann(_emb(sf_dir), KNN_QUERY_IDS, k=10)
+
+
+def _lsh_ann_sql(n_planes: int = 8, seed: int = 7, dim: int = 64,
+                 k: int = 10) -> str:
+    """SQL mirror of q_lsh_ann, generated from the same constants."""
+    from abslog_ray.stages.similarity import _LCG_A, _LCG_C, _LCG_M
+    w = (f"cast(({_LCG_A} * (({_LCG_A} * (d*{n_planes} + p + {seed}) "
+         f"+ {_LCG_C}) % {_LCG_M}) + {_LCG_C}) % {_LCG_M} as double) "
+         f"/ {_LCG_M}.0 - 0.5")
+    return f"""
+with pl as (
+  select d, p, {w} as w
+  from (select unnest(generate_series(0, {dim - 1})) as d) dd,
+       (select unnest(generate_series(0, {n_planes - 1})) as p) pp),
+e as (select vec_id,
+        list_transform(embedding, x -> cast(x as double)) as emb
+      from embeddings),
+dots as (
+  select e.vec_id, pl.p, sum(e.emb[pl.d + 1] * pl.w) as dot
+  from e, pl group by e.vec_id, pl.p),
+bk as (
+  select vec_id,
+    cast(sum(case when dot > 0 then 1::bigint << p else 0 end) as bigint)
+      as bucket
+  from dots group by vec_id),
+q as (
+  select b.vec_id as qid, b.bucket, e.emb as qe
+  from bk b join e using (vec_id) where b.vec_id in {KNN_QUERY_IDS}),
+s as (
+  select q.qid as query_id, b.vec_id as neighbor_id,
+    round(list_cosine_similarity(e2.emb, q.qe), 6) as sim
+  from q join bk b on b.bucket = q.bucket and b.vec_id <> q.qid
+  join e e2 on e2.vec_id = b.vec_id),
+r as (select *, row_number() over (
+  partition by query_id order by sim desc, neighbor_id) as rank from s)
+select query_id, neighbor_id, sim, cast(rank as bigint) as rank
+from r where rank <= {k}"""
+
+
+SQL_LSH_ANN = _lsh_ann_sql()
 
 
 # ==========================================================================
@@ -788,7 +943,7 @@ QUERIES = {
     # raw events family
     "top_event_types": (q_top_event_types, SQL_TOP_EVENT_TYPES),
     "event_share": (q_event_share, SQL_EVENT_SHARE),
-    "approx_uniq_users": (q_approx_uniq_users, None),
+    "approx_uniq_users": (q_approx_uniq_users, SQL_APPROX_UNIQ_USERS),
     # general aggregates
     "q1_lineitem": (q_q1_lineitem, SQL_Q1_LINEITEM),
     # joins / windows / grouped top-k
@@ -802,11 +957,11 @@ QUERIES = {
     "quality_scores": (q_quality, SQL_QUALITY),
     "fingerprints": (q_fingerprint, SQL_FINGERPRINT),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
-    "minhash_dupes": (q_minhash_dupes, None),
-    "simhash": (q_simhash, None),
-    "langid": (q_langid, None),
+    "minhash_dupes": (q_minhash_dupes, SQL_JACCARD_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "langid": (q_langid, SQL_LANGID),
     # embeddings: similarity
     "knn": (q_knn, SQL_KNN),
     "embedding_dupes": (q_embedding_dupes, SQL_EMBEDDING_DUPES),
-    "lsh_ann": (q_lsh_ann, None),
+    "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
 }

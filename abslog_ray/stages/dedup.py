@@ -357,15 +357,30 @@ def minhash_lsh_dupes(ds, n: int = 3, tau: float = 0.5, num_perm: int = 64,
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_batch(batch: pa.Table, id_col="doc_id",
-                  text_col="text") -> pa.Table:
-    """64-bit SimHash per doc over token hashes (sign of summed ±1 bits)."""
+def _md5_hash64(arr: np.ndarray) -> np.ndarray:
+    """uint64 = first 16 hex chars of md5(token) — bit-mirrorable by DuckDB
+    ``cast('0x' || substr(md5(x), 1, 16) as ubigint)``.  Python md5 per
+    UNIQUE token (callers factorize first); the scale default stays the
+    vectorized SipHash path (hash_fn='sip')."""
+    import hashlib
+    return np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+         for s in arr), dtype=np.uint64, count=len(arr))
+
+
+def _simhash_u64(batch: pa.Table, id_col: str, text_col: str,
+                 hash_fn: str) -> np.ndarray:
+    """uint64 SimHash per row: sign of summed ±1 bit contributions over
+    token-occurrence hashes."""
     flat, parents = _tokens_with_parents(batch[text_col])
     n = batch.num_rows
     if len(flat) == 0:
-        return pa.table({id_col: batch[id_col],
-                         "simhash": pa.array(np.zeros(n, dtype=np.int64))})
-    h = _stable_hash64(flat)
+        return np.zeros(n, dtype=np.uint64)
+    if hash_fn == "md5":
+        codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+        h = _md5_hash64(uniq.to_numpy())[codes]
+    else:
+        h = _stable_hash64(flat)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
     contrib = np.where(bits > 0, 1, -1)
     acc = np.zeros((n, 64), dtype=np.int64)
@@ -374,10 +389,31 @@ def simhash_batch(batch: pa.Table, id_col="doc_id",
     sh = np.zeros(n, dtype=np.uint64)
     for k in range(64):
         sh |= out[:, k] << np.uint64(k)
+    return sh
+
+
+def simhash_batch(batch: pa.Table, id_col="doc_id", text_col="text",
+                  hash_fn: str = "sip") -> pa.Table:
+    """64-bit SimHash per doc (int64 reinterpretation of the uint64)."""
+    sh = _simhash_u64(batch, id_col, text_col, hash_fn)
     return pa.table({id_col: batch[id_col],
                      "simhash": pa.array(sh.astype(np.int64))})
 
 
-def simhash(ds, id_col="doc_id", text_col="text"):
-    return ds.map_batches(lambda b: simhash_batch(b, id_col, text_col),
-                          batch_format="pyarrow")
+def simhash_hilo_batch(batch: pa.Table, id_col="doc_id", text_col="text",
+                       hash_fn: str = "md5") -> pa.Table:
+    """SimHash split into two non-negative int64 halves (bits 32..63 /
+    0..31) so SQL can assemble it without signed-shift overflow — the
+    driver-oracle surface for the simhash operator."""
+    sh = _simhash_u64(batch, id_col, text_col, hash_fn)
+    return pa.table({
+        id_col: batch[id_col],
+        "sim_hi": pa.array((sh >> np.uint64(32)).astype(np.int64)),
+        "sim_lo": pa.array((sh & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+    })
+
+
+def simhash(ds, id_col="doc_id", text_col="text", hash_fn: str = "sip"):
+    return ds.map_batches(
+        lambda b: simhash_batch(b, id_col, text_col, hash_fn),
+        batch_format="pyarrow")

@@ -132,14 +132,28 @@ def blocked_near_dup(ds, tau: float = 0.95, block_col="label",
     return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
 
 
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+
+
+def lcg_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic hyperplanes from a double-stepped LCG over
+    k = d·n_planes + p, components uniform in [-0.5, 0.5).  Chosen over
+    ``np.random`` because the integer recurrence is exactly reproducible
+    in ANSI SQL (DuckDB oracle mirrors the whole LSH bucketing); two LCG
+    steps decorrelate consecutive k."""
+    k = np.arange(dim * n_planes, dtype=np.int64) + seed
+    s1 = (_LCG_A * k + _LCG_C) % _LCG_M
+    s2 = (_LCG_A * s1 + _LCG_C) % _LCG_M
+    return (s2.astype(np.float64) / _LCG_M - 0.5).reshape(dim, n_planes)
+
+
 def lsh_ann(ds, query_ids, k: int = 10, n_planes: int = 8, seed: int = 7,
             id_col="vec_id", col="embedding", dim: int = 64):
     """Approximate top-k: random-hyperplane LSH buckets, query probes its
     own bucket only.  The scale path — work per query is O(bucket size)."""
     import ray
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = lcg_planes(dim, n_planes, seed)
     planes_ref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:

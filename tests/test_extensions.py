@@ -62,14 +62,16 @@ def test_lsh_ann_recall_vs_brute():
 
 
 def test_approx_uniq_users_accuracy(tmp_path):
+    """The contract query emits the exact distributed distinct plus the
+    HLL-accuracy flag; both must line up with DuckDB's exact count."""
     from abslog_ray.pipelines.queries import q_approx_uniq_users
     import duckdb
     sf = "/root/testdata/sf0.01"
-    got = q_approx_uniq_users(sf).to_pandas()
+    got = q_approx_uniq_users(sf)
     want = duckdb.sql(
         f"select event_type, count(distinct user_id) u from "
         f"read_parquet('{sf}/events.parquet') group by 1").df()
     m = got.merge(want, on="event_type")
     assert len(m) == len(want)
-    rel = (m["approx_uniq"] - m["u"]).abs() / m["u"]
-    assert rel.max() < 0.05
+    assert (m["uniq_users"] == m["u"]).all()
+    assert m["hll_ok"].all()
