@@ -61,14 +61,24 @@ class PipelineConfig:
     # exact quantiles carry per-key value lists through the combine (the
     # reference computes exact within-minute quartiles); the sketch path
     # uses a fixed log-spaced histogram for bounded memory at 10^12 scale.
-    exact_quantiles: bool = True
+    # True | False | "auto" ("auto": exact below exact_quantiles_max_bytes
+    # of estimated decoded input, histogram sketch above — so the scale
+    # path engages by default on large runs while the oracle gate keeps
+    # exact mode on test-sized inputs).
+    exact_quantiles: "bool | str" = "auto"
+    exact_quantiles_max_bytes: int = 8 << 30
     # buckets for the bucket-hashed final merge of the two-phase aggregate
     # (the "salt" S of SURVEY.md §4.2: work is spread over agg_buckets
     # reducers regardless of key skew because phase A pre-combines per batch)
-    agg_buckets: int = 64
+    # — int or "auto" (sized from input bytes; each bucket is ONE in-memory
+    # reducer group, so bucket count must grow with data volume)
+    agg_buckets: "int | str" = 64
     # buckets for the per-conversation gap shuffle (each bucket holds many
     # whole conversations; vectorized lag inside the bucket)
-    gap_buckets: int = 64
+    gap_buckets: "int | str" = 64
+    # "auto" sizing target: decoded input bytes per bucket-group (a bucket
+    # is processed as one in-memory pandas/arrow group on one worker)
+    target_bucket_bytes: int = 256 << 20
 
     # --- stage sizing ---
     parse_batch_size: Optional[int] = None  # None = one batch per block
@@ -98,6 +108,44 @@ class PipelineConfig:
     # a conversation longer than this raises in the gap stage rather than
     # silently blowing a bucket's memory (SURVEY.md §4.2 giant-conv guard).
     max_conv_turns: int = 100_000
+
+
+# decoded-Arrow expansion over on-disk Parquet (measured ~4x on the
+# transcript tables: dictionary+snappy compressed text columns)
+PARQUET_DECODE_EXPANSION = 4
+
+
+def resolve_buckets(setting, input_bytes=None,
+                    target_bucket_bytes: int = 256 << 20,
+                    lo: int = 16, hi: int = 1 << 16,
+                    default: int = 64) -> int:
+    """Resolve an int-or-"auto" bucket-count knob.
+
+    "auto" sizes bucket count from estimated DECODED input bytes so each
+    bucket-group stays ~target_bucket_bytes regardless of data volume
+    (VERDICT r01 "What's missing #3": fixed defaults OOM a worker at
+    100x scale).  With no size estimate available (driver-side query
+    paths on pre-transformed Datasets, where probing would trigger
+    execution) falls back to ``default``; run_pipeline resolves from the
+    chunk's file sizes before building stages."""
+    if setting != "auto":
+        return int(setting)
+    if not input_bytes:
+        return default
+    want = -(-int(input_bytes) // target_bucket_bytes)   # ceil-div
+    return min(hi, max(lo, want))
+
+
+def resolve_exact_quantiles(setting, input_bytes=None,
+                            max_bytes: int = 8 << 30) -> bool:
+    """Resolve the True|False|"auto" exact-quantile knob: "auto" keeps the
+    oracle-exact value-list path below ``max_bytes`` of estimated decoded
+    input and switches to the bounded-memory histogram sketch above it
+    (the partial state of a hot key would otherwise carry every gap value
+    through the shuffle).  Unknown size → exact (correctness-safe)."""
+    if setting != "auto":
+        return bool(setting)
+    return input_bytes is None or int(input_bytes) <= max_bytes
 
 
 def tune_data_context():

@@ -39,7 +39,7 @@ from abslog_ray.sources.transcripts import list_fragments, read_transcripts
 from abslog_ray.stages.aggregate import minute_totals, summarize
 from abslog_ray.stages.enrich import Enricher
 from abslog_ray.stages.gaps import with_gaps
-from abslog_ray.state.manifest import Manifest
+from abslog_ray.state.manifest import ActorManifest, Manifest
 
 # reference homage: abs-log keys minute documents by yymmddHHMM strings
 MINUTE_FMT = "%y%m%d%H%M"
@@ -112,10 +112,31 @@ def build_summary(ds_enriched, cfg: PipelineConfig):
 
 def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
     """Full resumable EP1 over a directory (or list) of Parquet fragments.
-    Returns manifest metrics."""
+    Returns manifest metrics.
+
+    Resume safety: a chunk is skipped only when the manifest's recorded
+    file list for that chunk id EQUALS the current listing's slice.  In
+    the incremental-append workflow (S1), files appended after a run whose
+    last chunk was partial shift the positional chunking — a committed
+    chunk whose membership changed is redone (its sink dirs are disjoint
+    and rebuilt, so the result equals a from-scratch run; positional
+    skipping alone would silently drop the appended files)."""
+    import dataclasses
+
+    from abslog_ray.config import (
+        PARQUET_DECODE_EXPANSION,
+        resolve_buckets,
+        resolve_exact_quantiles,
+    )
+
     assert cfg.sink_root, "cfg.sink_root required"
     ckpt = cfg.checkpoint_dir or os.path.join(cfg.sink_root, "_checkpoint")
-    manifest = Manifest.at(ckpt)
+    # T3 scale shape: serialize manifest access through the named actor
+    # when a Ray session exists (multi-driver safe); plain file writer
+    # otherwise (same format, same API)
+    import ray
+    manifest = (ActorManifest.at(ckpt) if ray.is_initialized()
+                else Manifest.at(ckpt))
 
     files = (list_fragments(input_path)
              if isinstance(input_path, str) else list(input_path))
@@ -124,9 +145,20 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
 
     for ci, chunk_files in enumerate(chunks):
         chunk_id = f"{ci:06d}"
-        if manifest.done(chunk_id):
+        if manifest.done(chunk_id, files=chunk_files):
             continue
         t0 = time.time()
+        # resolve "auto" sizing knobs from this chunk's on-disk bytes
+        in_bytes = sum(os.path.getsize(f) for f in chunk_files
+                       if os.path.exists(f)) * PARQUET_DECODE_EXPANSION
+        ccfg = dataclasses.replace(
+            cfg,
+            gap_buckets=resolve_buckets(
+                cfg.gap_buckets, in_bytes, cfg.target_bucket_bytes),
+            agg_buckets=resolve_buckets(
+                cfg.agg_buckets, in_bytes, cfg.target_bucket_bytes),
+            exact_quantiles=resolve_exact_quantiles(
+                cfg.exact_quantiles, in_bytes, cfg.exact_quantiles_max_bytes))
         routed_dir = os.path.join(cfg.sink_root, "routed", f"chunk={chunk_id}")
         summary_dir = os.path.join(cfg.sink_root, "summaries",
                                    f"chunk={chunk_id}")
@@ -137,7 +169,7 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
             shutil.rmtree(d, ignore_errors=True)
 
         ds = read_transcripts(chunk_files)
-        enriched = build_enriched(ds, cfg).map_batches(
+        enriched = build_enriched(ds, ccfg).map_batches(
             add_minute_str, batch_format="pyarrow")
         enriched.write_parquet(
             routed_dir, partition_cols=["role", "hour_str"],
@@ -145,7 +177,7 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
             concurrency=cfg.write_concurrency)
 
         back = ray.data.read_parquet(routed_dir, columns=AGG_COLUMNS)
-        summary = build_summary(back, cfg)
+        summary = build_summary(back, ccfg)
         summary.write_parquet(summary_dir,
                               min_rows_per_file=cfg.min_rows_per_file)
         totals = minute_totals(

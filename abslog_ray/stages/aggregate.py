@@ -350,20 +350,25 @@ def summarize(ds, cfg, mode: str = "partial"):
     each bucket in one vectorized pass — simpler, slightly slower here,
     kept for shapes where the partial state (value lists) would dominate.
     """
-    if mode == "partial" or not cfg.exact_quantiles:
+    from abslog_ray.config import resolve_buckets, resolve_exact_quantiles
+    exact = resolve_exact_quantiles(cfg.exact_quantiles,
+                                    max_bytes=cfg.exact_quantiles_max_bytes)
+    agg_buckets = resolve_buckets(cfg.agg_buckets,
+                                  target_bucket_bytes=cfg.target_bucket_bytes)
+    if mode == "partial" or not exact:
         parts = ds.map_batches(
-            make_partial_summary_fn(cfg.exact_quantiles),
+            make_partial_summary_fn(exact),
             batch_format="pyarrow", batch_size=cfg.parse_batch_size)
-        parts = parts.map_batches(add_key_bucket_fn(cfg.agg_buckets),
+        parts = parts.map_batches(add_key_bucket_fn(agg_buckets),
                                   batch_format="pyarrow")
         return parts.groupby(KEY_BUCKET).map_groups(
-            make_finalize_summary_fn(cfg.quantiles, cfg.exact_quantiles),
+            make_finalize_summary_fn(cfg.quantiles, exact),
             batch_format="pyarrow")
     keep = [c for c in SUMMARY_KEYS + ["conv_id", "status", "bytes",
                                        "gap_us", "parsed"]
             if c in ds.schema().names]
     narrow = ds.select_columns(keep)
-    narrow = narrow.map_batches(add_key_bucket_fn(cfg.agg_buckets),
+    narrow = narrow.map_batches(add_key_bucket_fn(agg_buckets),
                                 batch_format="pyarrow")
     return narrow.groupby(KEY_BUCKET).map_groups(
         make_direct_summary_fn(cfg.quantiles), batch_format="pyarrow")

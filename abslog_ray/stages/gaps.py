@@ -65,7 +65,10 @@ def compute_gaps_in_bucket(df: pd.DataFrame,
 
 def with_gaps(ds, cfg):
     """Dataset -> Dataset with gap_us:int64 (nullable) appended."""
-    ds = ds.map_batches(add_bucket_fn("conv_id", cfg.gap_buckets),
+    from abslog_ray.config import resolve_buckets
+    n_buckets = resolve_buckets(cfg.gap_buckets,
+                                target_bucket_bytes=cfg.target_bucket_bytes)
+    ds = ds.map_batches(add_bucket_fn("conv_id", n_buckets),
                         batch_format="pyarrow")
     max_turns = cfg.max_conv_turns
 

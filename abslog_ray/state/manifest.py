@@ -1,5 +1,5 @@
 """Checkpoint manifest — per-chunk lineage + metrics for resumable runs
-(SURVEY.md §2 S4/§4.2; reference: abs-log's per-logfile byte-offset file,
+(SURVEY.md §2 S4/T3/§4.2; reference: abs-log's per-logfile byte-offset file,
 which lets the cron rerun resume where it left off).
 
 The graft's unit of incremental progress is a CHUNK of input Parquet
@@ -11,12 +11,26 @@ durable.  On restart, completed chunks are skipped and their partitions
 trusted; a partially-written chunk's directories are removed and redone —
 idempotent because chunk output dirs are disjoint.
 
-Single-writer (the driver) here; on a multi-driver deployment this becomes a
-named Ray actor serializing appends — same file format.
+Skip is by chunk id AND file identity: ``done(chunk_id, files=...)`` is
+False when the recorded file list differs from the caller's, so positional
+re-chunking after an incremental append (new fragments landing inside an
+already-committed chunk's slice) forces that chunk to be redone instead of
+silently dropping the appended files.
+
+Two writers behind the same API:
+
+- ``Manifest``: plain single-process writer (the driver owns the file).
+- ``ActorManifest``: the multi-driver scale shape (T3) — every read/write
+  serializes through ONE named Ray actor per manifest path, so concurrent
+  jobs sharing a checkpoint cannot interleave file writes.  The actor
+  re-reads the file per call (the file stays the source of truth, so
+  external edits — e.g. an operator pruning a chunk entry to force a redo
+  — are honored).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
@@ -36,8 +50,13 @@ class Manifest:
         os.makedirs(checkpoint_dir, exist_ok=True)
         return cls(os.path.join(checkpoint_dir, "manifest.json"))
 
-    def done(self, chunk_id: str) -> bool:
-        return self.chunks.get(chunk_id, {}).get("status") == "done"
+    def done(self, chunk_id: str, files: list | None = None) -> bool:
+        c = self.chunks.get(chunk_id, {})
+        if c.get("status") != "done":
+            return False
+        if files is not None and c.get("files") != list(files):
+            return False
+        return True
 
     def commit(self, chunk_id: str, files: list, metrics: dict) -> None:
         self.chunks[chunk_id] = {
@@ -58,3 +77,52 @@ class Manifest:
     def metrics(self) -> dict:
         return {cid: {k: v for k, v in c.items() if k != "files"}
                 for cid, c in self.chunks.items()}
+
+
+class _ManifestHolder:
+    """Runs inside the named actor; reloads the file per call so the file
+    remains the source of truth (the actor only serializes access)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def done(self, chunk_id: str, files: list | None = None) -> bool:
+        return Manifest(self.path).done(chunk_id, files)
+
+    def commit(self, chunk_id: str, files: list, metrics: dict) -> None:
+        Manifest(self.path).commit(chunk_id, files, metrics)
+
+    def metrics(self) -> dict:
+        return Manifest(self.path).metrics()
+
+
+class ActorManifest:
+    """Same API as Manifest, serialized through a named Ray actor (one per
+    manifest path, ``get_if_exists`` so every driver lands on the same
+    instance)."""
+
+    def __init__(self, path: str):
+        import ray
+        self.path = path
+        name = "abslog-manifest-" + hashlib.md5(
+            os.path.abspath(path).encode()).hexdigest()[:12]
+        self._actor = (ray.remote(_ManifestHolder)
+                       .options(name=name, get_if_exists=True)
+                       .remote(path))
+
+    @classmethod
+    def at(cls, checkpoint_dir: str) -> "ActorManifest":
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        return cls(os.path.join(checkpoint_dir, "manifest.json"))
+
+    def done(self, chunk_id: str, files: list | None = None) -> bool:
+        import ray
+        return ray.get(self._actor.done.remote(chunk_id, files))
+
+    def commit(self, chunk_id: str, files: list, metrics: dict) -> None:
+        import ray
+        ray.get(self._actor.commit.remote(chunk_id, files, metrics))
+
+    def metrics(self) -> dict:
+        import ray
+        return ray.get(self._actor.metrics.remote())

@@ -55,6 +55,29 @@ def test_bucket_salt_invariance(t1_path, default_cfg):
                         _summary_df(t1_path, cfg16), KEYS)
 
 
+def test_auto_bucket_invariance(t1_path, default_cfg):
+    """'auto' bucket sizing + 'auto' quantile mode -> summaries identical
+    to fixed buckets (resolution only changes the partitioning salt)."""
+    cfga = dataclasses.replace(default_cfg, gap_buckets="auto",
+                               agg_buckets="auto", exact_quantiles="auto")
+    assert_frames_equal(_summary_df(t1_path, cfga),
+                        _summary_df(t1_path, default_cfg), KEYS)
+
+
+def test_resolve_knobs():
+    from abslog_ray.config import resolve_buckets, resolve_exact_quantiles
+    assert resolve_buckets(32) == 32
+    assert resolve_buckets("auto") == 64                      # size unknown
+    assert resolve_buckets("auto", 100 << 30, 256 << 20) == 400
+    assert resolve_buckets("auto", 1) == 16                   # floor
+    assert resolve_buckets("auto", 1 << 60) == 1 << 16        # ceiling
+    assert resolve_exact_quantiles(True) is True
+    assert resolve_exact_quantiles(False) is False
+    assert resolve_exact_quantiles("auto") is True            # unknown size
+    assert resolve_exact_quantiles("auto", 1 << 20) is True
+    assert resolve_exact_quantiles("auto", 100 << 30) is False
+
+
 def test_ooo_input_invariance(t1_df, default_cfg, tmp_path):
     """Sorted input vs the (already shuffled) fixture -> same summaries."""
     d = str(tmp_path / "sorted")
@@ -97,6 +120,37 @@ def test_resume_equivalence(t1_path, default_cfg, tmp_path):
         b = b.drop(columns=[c for c in ("chunk",) if c in b.columns])
         # per-chunk sinks repeat (role, minute) keys across chunks: sort by
         # every column for a stable order-insensitive comparison
+        assert_frames_equal(a, b, key_cols=None)
+
+
+def test_resume_append_rechunk(t1_path, default_cfg, tmp_path):
+    """Files appended after a committed run can land inside an existing
+    chunk's positional slice; the membership-changed chunk must be REDONE,
+    not skipped (ADVICE r01: positional-id skip silently dropped the
+    appended fragments in the incremental-append workflow)."""
+    files = sorted(glob.glob(os.path.join(t1_path, "*.parquet")))
+    assert len(files) >= 4
+    cfg = dataclasses.replace(default_cfg,
+                              sink_root=str(tmp_path / "inc"),
+                              chunk_files=2)
+    run_pipeline(files[:3], cfg)        # chunk 1 committed with ONE file
+    m = Manifest.at(os.path.join(cfg.sink_root, "_checkpoint"))
+    assert m.chunks["000001"]["files"] == [files[2]]
+    run_pipeline(files, cfg)            # append: chunk 1 now has two files
+    m = Manifest.at(os.path.join(cfg.sink_root, "_checkpoint"))
+    assert m.chunks["000001"]["files"] == files[2:4]
+
+    cfg_full = dataclasses.replace(default_cfg,
+                                   sink_root=str(tmp_path / "full"),
+                                   chunk_files=2)
+    run_pipeline(files, cfg_full)
+    for sink in ("routed", "summaries", "minute_totals"):
+        a = ray.data.read_parquet(
+            os.path.join(cfg.sink_root, sink)).to_pandas()
+        b = ray.data.read_parquet(
+            os.path.join(cfg_full.sink_root, sink)).to_pandas()
+        a = a.drop(columns=[c for c in ("chunk",) if c in a.columns])
+        b = b.drop(columns=[c for c in ("chunk",) if c in b.columns])
         assert_frames_equal(a, b, key_cols=None)
 
 
