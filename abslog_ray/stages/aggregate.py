@@ -32,6 +32,37 @@ import pyarrow.compute as pc
 SUMMARY_KEYS = ["role", "minute", "pattern", "args_abs"]
 KEY_BUCKET = "__kbucket"
 
+_WORD = 26          # split-word width for exact float64-bincount sums
+
+
+def _bincount_int64(codes: np.ndarray, vals: np.ndarray,
+                    G: int) -> np.ndarray:
+    """Exact int64 segmented sum at bincount speed.
+
+    ``np.bincount`` with float64 weights is exact only to 2^53 (ADVICE r01:
+    a hot key's byte/gap sum can exceed that at 10^12 scale).  Splitting
+    each value into 26-bit words keeps every word-sum < 2^53 (word < 2^26,
+    segment rows < 2^27), so two float64 bincounts reassemble the exact
+    int64 total.  Requires |vals| < 2^52 — true for raw per-row quantities
+    (bytes < 2^31, gap_us < 2^42); use _seg_sum_int64 (np.add.at) for
+    merging pre-reduced partials, which can be larger but are few."""
+    v = vals.astype(np.int64, copy=False)
+    lo = (v & ((1 << _WORD) - 1)).astype(np.float64)
+    hi = (v >> _WORD).astype(np.float64)
+    lo_s = np.bincount(codes, weights=lo, minlength=G)
+    hi_s = np.bincount(codes, weights=hi, minlength=G)
+    return (hi_s.astype(np.int64) << _WORD) + lo_s.astype(np.int64)
+
+
+def _seg_sum_int64(codes: np.ndarray, vals: np.ndarray,
+                   G: int) -> np.ndarray:
+    """Exact int64 segment sum via np.add.at (any magnitude; slower —
+    for pre-reduced partial rows, not raw-row hot paths)."""
+    out = np.zeros(G, dtype=np.int64)
+    if len(codes):
+        np.add.at(out, codes, vals.astype(np.int64, copy=False))
+    return out
+
 # --- histogram sketch (approximate path for 10^12-scale hot keys) ---
 # log-spaced bucket edges covering 1µs .. ~30 days, ~0.7% relative error
 _HIST_EDGES = np.unique(
@@ -71,12 +102,8 @@ def make_partial_summary_fn(exact_quantiles: bool = True):
         status = t["status"].to_numpy(zero_copy_only=False)
         nbytes = t["bytes"].to_numpy(zero_copy_only=False)
         hits = np.bincount(codes, minlength=G).astype(np.int64)
-        err = np.bincount(
-            codes, weights=(status >= 400).astype(np.float64), minlength=G
-        ).astype(np.int64)
-        bsum = np.bincount(
-            codes, weights=nbytes.astype(np.float64), minlength=G
-        ).astype(np.int64)
+        err = np.bincount(codes[status >= 400], minlength=G).astype(np.int64)
+        bsum = _bincount_int64(codes, nbytes, G)
 
         gap_col = t["gap_us"]
         if isinstance(gap_col, pa.ChunkedArray):
@@ -89,18 +116,22 @@ def make_partial_summary_fn(exact_quantiles: bool = True):
         gvals = np.asarray(gap_col.fill_null(0))[gmask]
         gcodes = codes[gmask]
         gap_count = np.bincount(gcodes, minlength=G).astype(np.int64)
-        gap_sum = np.bincount(
-            gcodes, weights=gvals.astype(np.float64), minlength=G
-        ).astype(np.int64)
+        gap_sum = _bincount_int64(gcodes, gvals, G)
 
         if exact_quantiles:
             order = np.argsort(gcodes, kind="stable")
             state_vals = pa.array(gvals[order], pa.int64())
         else:
             # per-(key, hist-bucket) counts, encoded as a dense i32 vector
+            W = len(_HIST_EDGES) + 1
+            # ListArray offsets are int32 — fail loudly before silent wrap
+            # (ADVICE r01: ~1M keys in one batch overflows G*W past 2^31)
+            assert G * W < (1 << 31), \
+                f"sketch state offsets overflow int32: {G} keys x {W} " \
+                f"buckets in one batch; reduce batch size"
             hb = np.searchsorted(_HIST_EDGES, gvals, side="right")
-            flat = np.zeros(G * (len(_HIST_EDGES) + 1), dtype=np.int32)
-            np.add.at(flat, gcodes * (len(_HIST_EDGES) + 1) + hb, 1)
+            flat = np.zeros(G * W, dtype=np.int32)
+            np.add.at(flat, gcodes * W + hb, 1)
             state_vals = pa.array(flat, pa.int32())
         if exact_quantiles:
             offs = np.zeros(G + 1, dtype=np.int32)
@@ -108,9 +139,9 @@ def make_partial_summary_fn(exact_quantiles: bool = True):
             gap_state = pa.ListArray.from_arrays(
                 pa.array(offs, pa.int32()), state_vals)
         else:
-            offs = np.arange(G + 1, dtype=np.int32) * (len(_HIST_EDGES) + 1)
+            offs = np.arange(G + 1, dtype=np.int64) * (len(_HIST_EDGES) + 1)
             gap_state = pa.ListArray.from_arrays(
-                pa.array(offs, pa.int32()), state_vals)
+                pa.array(offs.astype(np.int32), pa.int32()), state_vals)
 
         ccodes, cuniq = pd.factorize(
             pd.Series(t["conv_id"].to_pandas()), sort=False)
@@ -174,10 +205,11 @@ def make_finalize_summary_fn(quantiles, exact_quantiles: bool = True):
         G = len(uniq)
 
         def bsum(col):
-            return np.bincount(
-                codes,
-                weights=t[col].to_numpy(zero_copy_only=False).astype(np.float64),
-                minlength=G).astype(np.int64)
+            # partial sums can exceed 2^52, so np.add.at (exact for any
+            # int64) rather than float64-weighted bincount; partial rows
+            # are pre-reduced and few, so the add.at cost is negligible
+            return _seg_sum_int64(
+                codes, t[col].to_numpy(zero_copy_only=False), G)
 
         hits, err, byts = bsum("hits"), bsum("err_hits"), bsum("bytes_sum")
         gap_sum, gap_count = bsum("gap_sum"), bsum("gap_count")
@@ -277,10 +309,8 @@ def make_direct_summary_fn(quantiles):
         status = t["status"].to_numpy(zero_copy_only=False)
         nbytes = t["bytes"].to_numpy(zero_copy_only=False)
         hits = np.bincount(codes, minlength=G).astype(np.int64)
-        err = np.bincount(codes, weights=(status >= 400).astype(np.float64),
-                          minlength=G).astype(np.int64)
-        byts = np.bincount(codes, weights=nbytes.astype(np.float64),
-                           minlength=G).astype(np.int64)
+        err = np.bincount(codes[status >= 400], minlength=G).astype(np.int64)
+        byts = _bincount_int64(codes, nbytes, G)
 
         gap_col = t["gap_us"]
         if isinstance(gap_col, pa.ChunkedArray):
@@ -293,8 +323,7 @@ def make_direct_summary_fn(quantiles):
         gvals = np.asarray(gap_col.fill_null(0))[gmask]
         gcodes = codes[gmask]
         gap_count = np.bincount(gcodes, minlength=G).astype(np.int64)
-        gap_sum = np.bincount(gcodes, weights=gvals.astype(np.float64),
-                              minlength=G).astype(np.int64)
+        gap_sum = _bincount_int64(gcodes, gvals, G)
 
         order = np.lexsort((gvals, gcodes))
         svals = gvals[order]
@@ -434,12 +463,9 @@ def _partial_totals(batch: pa.Table) -> pa.Table:
         "role": pa.array(uniq.get_level_values(0), pa.string()),
         "minute": pa.array(uniq.get_level_values(1), pa.timestamp("us")),
         "total_hits": pa.array(np.bincount(codes, minlength=G).astype(np.int64)),
-        "invalid_hits": pa.array(np.bincount(
-            codes, weights=(~parsed).astype(np.float64),
-            minlength=G).astype(np.int64)),
-        "total_bytes": pa.array(np.bincount(
-            codes, weights=nbytes.astype(np.float64),
-            minlength=G).astype(np.int64)),
+        "invalid_hits": pa.array(
+            np.bincount(codes[~parsed], minlength=G).astype(np.int64)),
+        "total_bytes": pa.array(_bincount_int64(codes, nbytes, G)),
     })
 
 

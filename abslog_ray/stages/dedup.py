@@ -237,11 +237,16 @@ def minhash_signatures(ds, n: int = 3, num_perm: int = 64, seed: int = 1337,
         for i in range(len(a)):
             hx = ((a[i] * h_ord) % MERSENNE + b[i]) % MERSENNE
             sig[:, i] = np.minimum.reduceat(hx, starts)
-        offs = np.arange(G + 1, dtype=np.int32) * len(a)
+        # ListArray offsets are int32 — fail loudly before silent wrap
+        assert G * len(a) < (1 << 31), \
+            f"minhash signature offsets overflow int32: {G} docs x " \
+            f"{len(a)} perms in one batch; reduce batch size"
+        offs = np.arange(G + 1, dtype=np.int64) * len(a)
         return pa.table({
             id_col: pa.array(uniq_ids),
-            "sig": pa.ListArray.from_arrays(pa.array(offs),
-                                            pa.array(sig.reshape(-1))),
+            "sig": pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32), pa.int32()),
+                pa.array(sig.reshape(-1))),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -87,3 +87,38 @@ class TestArgsAbstraction:
     def test_null_passthrough(self):
         got = abstract_args(pa.array([None, "a=1"]), DEFAULT_ARGS_RULE)
         assert got.to_pylist() == [None, "a=?"]
+
+
+class TestExactSegmentSums:
+    """ADVICE r01: float64-weighted bincount loses exactness past 2^53;
+    the split-word and add.at kernels must not."""
+
+    def test_bincount_int64_beyond_2_53(self):
+        import numpy as np
+        from abslog_ray.stages.aggregate import _bincount_int64
+        # odd total just above 2^53: not representable in float64
+        vals = np.full(1025, (1 << 43) + 7, dtype=np.int64)
+        codes = np.zeros(1025, dtype=np.int64)
+        got = _bincount_int64(codes, vals, 1)
+        want = 1025 * ((1 << 43) + 7)
+        assert want > (1 << 53) and want % 2 == 1
+        assert got[0] == want
+        assert int(np.float64(want)) != want             # float64 can't
+
+    def test_bincount_int64_negative_and_groups(self):
+        import numpy as np
+        from abslog_ray.stages.aggregate import _bincount_int64
+        rng = np.random.default_rng(3)
+        vals = rng.integers(-(1 << 42), 1 << 42, 10_000)
+        codes = rng.integers(0, 7, 10_000)
+        got = _bincount_int64(codes, vals, 7)
+        for g in range(7):
+            assert got[g] == vals[codes == g].sum()
+
+    def test_seg_sum_int64_large_partials(self):
+        import numpy as np
+        from abslog_ray.stages.aggregate import _seg_sum_int64
+        vals = np.array([(1 << 61) + 3, (1 << 61) + 5, -7], dtype=np.int64)
+        codes = np.array([0, 1, 0])
+        got = _seg_sum_int64(codes, vals, 2)
+        assert got[0] == (1 << 61) + 3 - 7 and got[1] == (1 << 61) + 5
