@@ -349,7 +349,8 @@ def q_distinct_tools(sf_dir: str):
     """D3: distinct tool values."""
     vals = sorted(ray.data.read_parquet(
         _events(sf_dir), columns=["event_type"]).unique("event_type"))
-    return pd.DataFrame({"tool": pd.Series(vals, dtype="string")})
+    # plain-object dtype == what a DuckDB .df() fetch yields for VARCHAR
+    return pd.DataFrame({"tool": pd.Series(vals, dtype=object)})
 
 
 SQL_DISTINCT_TOOLS = "select distinct event_type as tool from events"
