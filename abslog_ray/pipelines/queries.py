@@ -876,16 +876,17 @@ where round(list_cosine_similarity(
 
 
 def q_lsh_ann(sf_dir: str):
-    """LSH-bucketed approximate KNN (scale path) — now with a FULL DuckDB
+    """Multi-probe LSH approximate KNN (scale path) with a FULL DuckDB
     oracle: the hyperplanes come from an integer LCG recurrence
-    (stages/similarity.lcg_planes) that SQL reproduces exactly, so the
-    bucketing, the probe and the in-bucket top-k are all value-checkable."""
+    (stages/similarity.lcg_planes) that SQL reproduces exactly, and the
+    Hamming-≤1 probe set is a ``bit_count(xor(...))`` join — bucketing,
+    probing and the merged top-k are all value-checked."""
     from abslog_ray.stages.similarity import lsh_ann
-    return lsh_ann(_emb(sf_dir), KNN_QUERY_IDS, k=10)
+    return lsh_ann(_emb(sf_dir), KNN_QUERY_IDS, k=10, probe_radius=1)
 
 
 def _lsh_ann_sql(n_planes: int = 8, seed: int = 7, dim: int = 64,
-                 k: int = 10) -> str:
+                 k: int = 10, probe_radius: int = 1) -> str:
     """SQL mirror of q_lsh_ann, generated from the same constants."""
     from abslog_ray.stages.similarity import _LCG_A, _LCG_C, _LCG_M
     w = (f"cast(({_LCG_A} * (({_LCG_A} * (d*{n_planes} + p + {seed}) "
@@ -913,7 +914,9 @@ q as (
 s as (
   select q.qid as query_id, b.vec_id as neighbor_id,
     round(list_cosine_similarity(e2.emb, q.qe), 6) as sim
-  from q join bk b on b.bucket = q.bucket and b.vec_id <> q.qid
+  from q join bk b
+    on bit_count(xor(b.bucket, q.bucket)) <= {probe_radius}
+    and b.vec_id <> q.qid
   join e e2 on e2.vec_id = b.vec_id),
 r as (select *, row_number() over (
   partition by query_id order by sim desc, neighbor_id) as rank from s)

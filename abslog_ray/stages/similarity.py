@@ -147,14 +147,39 @@ def lcg_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return (s2.astype(np.float64) / _LCG_M - 0.5).reshape(dim, n_planes)
 
 
+def _probe_masks(n_planes: int, radius: int) -> np.ndarray:
+    """All nonzero bit masks with popcount ≤ radius (the flips that reach
+    every bucket within Hamming distance `radius`)."""
+    from itertools import combinations
+    masks = []
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return np.array(masks, dtype=np.int64)
+
+
 def lsh_ann(ds, query_ids, k: int = 10, n_planes: int = 8, seed: int = 7,
-            id_col="vec_id", col="embedding", dim: int = 64):
-    """Approximate top-k: random-hyperplane LSH buckets, query probes its
-    own bucket only.  The scale path — work per query is O(bucket size)."""
+            id_col="vec_id", col="embedding", dim: int = 64,
+            probe_radius: int = 1):
+    """Approximate top-k: random-hyperplane LSH buckets with MULTI-PROBE —
+    each query scans its own bucket plus every bucket within Hamming
+    distance ``probe_radius`` of its code (r1 verdict: single-probe recall
+    hinged entirely on n_planes; probing adjacent buckets recovers most
+    boundary losses at (n_planes choose ≤r)× query cost, still O(bucket)
+    per probe).  The scale path: no all-pairs work, one keyed shuffle.
+
+    Mechanics: query rows are REPLICATED into their probe buckets tagged
+    ``probe=True`` (anchor only — never a neighbor candidate); per-bucket
+    local top-k then a tiny per-query merge yields the global ranking."""
     import ray
 
     planes = lcg_planes(dim, n_planes, seed)
     planes_ref = ray.put(planes)
+    qids = np.asarray(sorted(query_ids), dtype=np.int64)
+    masks = _probe_masks(n_planes, probe_radius)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         P = ray.get(planes_ref)
@@ -163,32 +188,62 @@ def lsh_ann(ds, query_ids, k: int = 10, n_planes: int = 8, seed: int = 7,
         code = np.zeros(len(M), dtype=np.int64)
         for b in range(n_planes):
             code |= signs[:, b].astype(np.int64) << b
-        return batch.append_column("bucket", pa.array(code))
+        t = batch.append_column("bucket", pa.array(code))
+        t = t.append_column("probe",
+                            pa.array(np.zeros(batch.num_rows, dtype=bool)))
+        if len(masks) == 0:
+            return t
+        qmask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), qids)
+        if not qmask.any():
+            return t
+        qrows = t.filter(pa.array(qmask))
+        reps = []
+        qbuckets = qrows["bucket"].to_numpy(zero_copy_only=False)
+        bidx = qrows.schema.get_field_index("bucket")
+        pidx = qrows.schema.get_field_index("probe")
+        for m in masks:
+            r = qrows.set_column(bidx, "bucket", pa.array(qbuckets ^ m))
+            r = r.set_column(pidx, "probe",
+                             pa.array(np.ones(r.num_rows, dtype=bool)))
+            reps.append(r)
+        return pa.concat_tables([t] + reps)
 
     bds = ds.map_batches(bucketize, batch_format="pyarrow")
-    qset = set(query_ids)
+    qset = set(int(q) for q in qids)
 
-    def topk_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        qmask = df[id_col].isin(qset)
-        if not qmask.any():
-            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                 "neighbor_id": pd.Series([], dtype=np.int64),
-                                 "sim": pd.Series([], dtype=np.float64),
-                                 "rank": pd.Series([], dtype=np.int64)})
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                              "neighbor_id": pd.Series([], dtype=np.int64),
+                              "sim": pd.Series([], dtype=np.float64)})
+        anchors = df[id_col].isin(qset).to_numpy()
+        if not anchors.any():
+            return empty
+        members = ~df["probe"].to_numpy()          # real bucket members
         ids = df[id_col].to_numpy()
         M = _normalize(np.stack(df[col].to_numpy()).astype(np.float64))
         out = []
-        for qrow in np.flatnonzero(qmask.to_numpy()):
-            sims = np.round(M @ M[qrow], 6)
-            mask = ids != ids[qrow]
-            cids, cs = ids[mask], sims[mask]
-            sel = np.lexsort((cids, -cs))[:k]
+        for qrow in np.flatnonzero(anchors):
+            cand = members & (ids != ids[qrow])
+            if not cand.any():
+                continue
+            sims = np.round(M[cand] @ M[qrow], 6)
+            cids = ids[cand]
+            sel = np.lexsort((cids, -sims))[:k]
             out.append(pd.DataFrame({
                 "query_id": np.full(len(sel), ids[qrow], dtype=np.int64),
                 "neighbor_id": cids[sel].astype(np.int64),
-                "sim": cs[sel],
-                "rank": np.arange(1, len(sel) + 1, dtype=np.int64)}))
-        return pd.concat(out, ignore_index=True)
+                "sim": sims[sel]}))
+        return pd.concat(out, ignore_index=True) if out else empty
 
-    return bds.groupby("bucket").map_groups(topk_in_bucket,
-                                            batch_format="pandas")
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # neighbors are unique across probe buckets (each vector lives in
+        # exactly one bucket), so a sort + head is the exact global top-k
+        df = df.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True], kind="mergesort")
+        df = df.head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    local = bds.groupby("bucket").map_groups(local_topk,
+                                             batch_format="pandas")
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -31,8 +31,9 @@ OBJECT_STORE = 16 * 1024**3  # fixed across runs so scaling isolates CPUs
 
 BENCH_QUERIES = [
     "flagship_summary", "parse_fields", "gaps", "top_patterns",
-    "minute_totals", "exact_dedup", "token_stats", "jaccard_pairs",
-    "knn", "embedding_dupes", "simhash", "langid",
+    "pattern_detail", "minute_totals", "exact_dedup", "token_stats",
+    "jaccard_pairs", "minhash_dupes", "knn", "embedding_dupes",
+    "lsh_ann", "simhash", "langid", "approx_uniq_users",
 ]
 
 
