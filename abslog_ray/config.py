@@ -136,6 +136,21 @@ def resolve_buckets(setting, input_bytes=None,
     return min(hi, max(lo, want))
 
 
+def resolve_read_blocks(n_cpus: int, decoded_bytes: int,
+                        per_block: int = 256 << 20) -> int:
+    """Input block count for the pipeline's parquet reads: enough blocks
+    for 2 waves of tasks per CPU, bounded below by ~256 MiB decoded per
+    block.  Ray's local-mode read autotuning oversplits instead
+    (read_op_min_num_blocks=200 → 3 blocks per fragment on the bench
+    fixture), and every extra block multiplies sort-shuffle coordination:
+    measured 24M-turn flagship 40-43 s at 288 blocks vs 31-33 s at 64-96
+    (32 CPUs).  Fragment-count-independent, so wider clusters simply raise
+    the CPU term."""
+    waves = 2 * max(int(n_cpus), 1)
+    by_size = -(-int(decoded_bytes) // per_block) if decoded_bytes else 1
+    return max(waves, by_size)
+
+
 def resolve_exact_quantiles(setting, input_bytes=None,
                             max_bytes: int = 8 << 30) -> bool:
     """Resolve the True|False|"auto" exact-quantile knob: "auto" keeps the

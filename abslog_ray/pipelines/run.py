@@ -127,6 +127,7 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
         PARQUET_DECODE_EXPANSION,
         resolve_buckets,
         resolve_exact_quantiles,
+        resolve_read_blocks,
     )
 
     assert cfg.sink_root, "cfg.sink_root required"
@@ -168,7 +169,10 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
         for d in (routed_dir, summary_dir, totals_dir):
             shutil.rmtree(d, ignore_errors=True)
 
-        ds = read_transcripts(chunk_files)
+        n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_blocks = resolve_read_blocks(n_cpus, in_bytes)
+        ds = read_transcripts(chunk_files, override_num_blocks=n_blocks)
         enriched = build_enriched(ds, ccfg).map_batches(
             add_minute_str, batch_format="pyarrow")
         enriched.write_parquet(
@@ -176,7 +180,8 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
             min_rows_per_file=cfg.min_rows_per_file,
             concurrency=cfg.write_concurrency)
 
-        back = ray.data.read_parquet(routed_dir, columns=AGG_COLUMNS)
+        back = ray.data.read_parquet(routed_dir, columns=AGG_COLUMNS,
+                                     override_num_blocks=n_blocks)
         summary = build_summary(back, ccfg)
         summary.write_parquet(summary_dir,
                               min_rows_per_file=cfg.min_rows_per_file)

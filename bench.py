@@ -66,13 +66,23 @@ def run_headline() -> dict:
     cfg = PipelineConfig(tool_lookup=dict(TOOL_CATS),
                          role_lookup=dict(ROLE_SINKS))
 
+    # input block count: 2 waves per CPU, >=256 MiB decoded per block
+    # (local read autotuning oversplits; see config.resolve_read_blocks)
+    import glob as _glob
+    from abslog_ray.config import PARQUET_DECODE_EXPANSION, resolve_read_blocks
+    disk = sum(os.path.getsize(f) for f in
+               _glob.glob(os.path.join(bench_path, "*.parquet")))
+    n_blocks = resolve_read_blocks(NUM_CPUS, disk * PARQUET_DECODE_EXPANSION)
+
     # warm OS page cache (untimed) so we measure compute + shuffle
     ds = read_transcripts(bench_path)
     n_turns = ds.count()
 
     t0 = time.time()
-    summary = build_summary(build_enriched(read_transcripts(bench_path), cfg),
-                            cfg)
+    summary = build_summary(
+        build_enriched(
+            read_transcripts(bench_path, override_num_blocks=n_blocks), cfg),
+        cfg)
     n_summary = summary.count()
     wall = time.time() - t0
 
