@@ -109,8 +109,26 @@ def transcripts_from_events(events_path: str, n_buckets: int = 16):
     as the gap stage."""
     from abslog_ray.stages.gaps import add_bucket_fn
 
+    # right-size input blocks: Ray's local read autotuning splits even a
+    # few-MB single file into ~200 blocks, multiplying per-block overhead
+    # through the turn_idx group shuffle (config.resolve_read_blocks)
+    from abslog_ray.config import (
+        PARQUET_DECODE_EXPANSION,
+        resolve_read_blocks,
+    )
+    n_cpus = 8
+    try:
+        import ray as _ray
+        if _ray.is_initialized():
+            n_cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    disk = os.path.getsize(events_path) if os.path.isfile(events_path) else 0
+    n_blocks = resolve_read_blocks(n_cpus, disk * PARQUET_DECODE_EXPANSION)
+
     ds = ray.data.read_parquet(
-        events_path, columns=["event_id", "ts", "user_id", "event_type"])
+        events_path, columns=["event_id", "ts", "user_id", "event_type"],
+        override_num_blocks=n_blocks)
     ds = ds.map_batches(_events_to_transcript_batch, batch_format="pandas")
     ds = ds.map_batches(add_bucket_fn("conv_id", n_buckets),
                         batch_format="pyarrow")
