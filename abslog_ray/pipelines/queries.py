@@ -602,6 +602,53 @@ select user_id, event_type, hits, cast(rank as bigint) as rank
 from r where rank <= 2"""
 
 
+def q_purchase_attribution(sf_dir: str):
+    """As-of join (backward, inclusive): each purchase event matched to
+    the same user's latest click at-or-before the purchase ts.  The right
+    side is pre-aggregated to unique (user_id, ts) — max event_id — so
+    both the engine kernel and DuckDB's native ASOF JOIN are tie-free and
+    deterministic."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import asof_join
+    ev = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_id", "user_id", "event_type", "ts"])
+
+    def take(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return (t.filter(pc.equal(t["event_type"], kind))
+                     .drop_columns(["event_type"]))
+        return fn
+
+    purchases = ev.map_batches(take("purchase"), batch_format="pyarrow")
+    clicks = hash_aggregate(
+        ev.map_batches(take("click"), batch_format="pyarrow"),
+        ["user_id", "ts"], {"click_event_id": ("event_id", "max")})
+    j = asof_join(purchases, clicks, by="user_id", on="ts", how="inner")
+
+    def final(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(pc.cast(t["ts"], pa.int64()),
+                          pc.cast(t["ts_r"], pa.int64()))
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "click_event_id": pc.cast(t["click_event_id"], pa.int64()),
+            "click_gap_us": gap,
+        })
+
+    return j.map_batches(final, batch_format="pyarrow")
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+with p as (
+  select event_id, user_id, ts from events where event_type = 'purchase'),
+c as (
+  select user_id, ts, max(event_id) as click_event_id
+  from events where event_type = 'click' group by user_id, ts)
+select p.event_id, p.user_id, c.click_event_id,
+  epoch_us(p.ts) - epoch_us(c.ts) as click_gap_us
+from p asof join c on p.user_id = c.user_id and p.ts >= c.ts"""
+
+
 def q_rich_user_events(sf_dir: str):
     """Broadcast semi-join: events whose user is a customer with
     acctbal > 5000 (key set broadcast, filter in map_batches)."""
@@ -955,6 +1002,8 @@ QUERIES = {
     "sessions": (q_sessions, SQL_SESSIONS),
     "top_events_per_user": (q_top_events_per_user, SQL_TOP_EVENTS_PER_USER),
     "rich_user_events": (q_rich_user_events, SQL_RICH_USER_EVENTS),
+    "purchase_attribution": (q_purchase_attribution,
+                             SQL_PURCHASE_ATTRIBUTION),
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -84,6 +84,103 @@ def bucket_join(left, right, on, how: str = "inner",
     return both.groupby(KEY_BUCKET).map_groups(merge, batch_format="pandas")
 
 
+def asof_join(left, right, by: str, on: str, how: str = "inner",
+              n_buckets: int = 32, suffixes=("", "_r")):
+    """As-of join: for each left row, the most recent right row of the same
+    ``by`` key with ``right.on <= left.on`` (backward direction, inclusive
+    — the time-series "latest state at event time" lookup Ray Data lacks).
+
+    Shape: same single keyed shuffle as ``bucket_join`` (tag → align →
+    union → bucket-hash on ``by``), but the per-bucket kernel is a merge
+    path instead of a hash merge: sort both sides together by (key, on,
+    side) with right rows ordered before left on ties, then one
+    ``np.maximum.accumulate`` forward-fill of right-row indices gives every
+    left row its as-of match — O((|l|+|r|) log) per bucket, fully
+    vectorized, no row-pair expansion.
+
+    Partitioning assumption: whole ``by`` keys co-locate in one bucket
+    (hash of the key), like the gap stage.  Determinism: the right side
+    must be unique on (by, on) — pre-aggregate ties away (the SQL ASOF
+    mirror is equally tie-ambiguous otherwise).  Right's columns arrive
+    suffixed where they clash with left's (including ``on``)."""
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+    shared = [c for c in rcols if c in lcols and c != by]
+    rmap = {c: (c + suffixes[1] if c in shared else c)
+            for c in rcols if c != by}
+    r_on = rmap[on] if on in rmap else on
+    r_val_cols = [rmap[c] for c in rcols if c != by]
+    all_cols = [by] + [c for c in lcols if c != by] + r_val_cols
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if side == "r":
+                df = df.rename(columns=rmap)
+            df[SIDE_COL] = side
+            return _align(df, all_cols + [SIDE_COL])
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas"))
+    both = both.map_batches(add_key_bucket_fn(n_buckets, keys=[by]),
+                            batch_format="pyarrow")
+
+    l_keep = [by] + [c for c in lcols if c != by]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[KEY_BUCKET])
+        is_l = (df[SIDE_COL] == "l").to_numpy()
+        l = df[is_l]
+        r = df[~is_l]
+        out_empty = l.iloc[0:0][l_keep + r_val_cols]
+        if len(l) == 0:
+            return out_empty
+        codes, _u = pd.factorize(
+            pd.concat([r[by], l[by]], ignore_index=True), sort=False)
+        rcode, lcode = codes[:len(r)], codes[len(r):]
+        r_on_v = r[r_on].to_numpy()
+        l_on_v = l[on].to_numpy()
+        code_all = np.concatenate([rcode, lcode])
+        on_all = np.concatenate([r_on_v, l_on_v])
+        side_all = np.concatenate([np.zeros(len(r), dtype=np.int8),
+                                   np.ones(len(l), dtype=np.int8)])
+        idx_all = np.concatenate([np.arange(len(r)),
+                                  np.arange(len(l))])
+        order = np.lexsort((side_all, on_all, code_all))
+        marks = np.where(side_all[order] == 0, idx_all[order], -1)
+        # forward-fill the POSITION of the last right row seen (positions
+        # are monotone, so maximum.accumulate is a correct ffill; original
+        # right indices are not ordered by time and must not be maxed)
+        pos = np.arange(len(marks))
+        last_r_pos = np.maximum.accumulate(np.where(marks >= 0, pos, -1))
+        at_left = side_all[order] == 1
+        cand_pos = last_r_pos[at_left]
+        cand = marks[np.maximum(cand_pos, 0)]
+        lrow = idx_all[order][at_left]           # original left positions
+        valid = (cand_pos >= 0)
+        # a carried match from the previous key segment is invalid
+        valid &= np.where(valid, rcode[np.maximum(cand, 0)], -1) == \
+            code_all[order][at_left]
+        rv = r[r_val_cols].reset_index(drop=True)
+        if how == "inner":
+            out = l.iloc[lrow[valid]][l_keep].reset_index(drop=True)
+            matched = rv.iloc[cand[valid]].reset_index(drop=True)
+            for c in r_val_cols:
+                out[c] = matched[c].to_numpy()
+            return out
+        # left join: unmatched right columns become nulls
+        out = l.iloc[lrow][l_keep].reset_index(drop=True)
+        matched = rv.iloc[np.maximum(cand, 0)].reset_index(drop=True)
+        vmask = pd.Series(valid)
+        for c in r_val_cols:
+            out[c] = matched[c].where(vmask)
+        return out
+
+    return both.groupby(KEY_BUCKET).map_groups(merge, batch_format="pandas")
+
+
 def semi_join(ds, keys_df: pd.DataFrame, on: str, anti: bool = False):
     """Broadcast key-set filter (semi/anti join)."""
     import ray

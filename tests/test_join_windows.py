@@ -99,3 +99,55 @@ def test_grouped_top_k():
               .groupby("g").head(3))
     want = want.assign(rank=want.groupby("g").cumcount() + 1)
     assert_frames_equal(got, want, key_cols=None)
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    """Engine as-of (backward, inclusive) == pandas merge_asof on random
+    data with unique right (by, on) keys."""
+    from abslog_ray.stages.join import asof_join
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "u": rng.integers(0, 25, 500),
+        "ts": rng.integers(0, 10_000, 500).astype(np.int64),
+        "lval": np.arange(500, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "u": rng.integers(0, 25, 300),
+        "ts": rng.integers(0, 10_000, 300).astype(np.int64),
+        "rval": np.arange(300, dtype=np.int64) * 10,
+    }).drop_duplicates(["u", "ts"])
+    got = asof_join(ray.data.from_pandas(left),
+                    ray.data.from_pandas(right),
+                    by="u", on="ts", how="left",
+                    n_buckets=4).to_pandas()
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort").rename(
+            columns={"ts": "ts_r"}),
+        left_on="ts", right_on="ts_r", by="u",
+        direction="backward", allow_exact_matches=True)
+    assert_frames_equal(got, want, key_cols=["u", "ts", "lval"])
+    # inner drops exactly the unmatched rows
+    inner = asof_join(ray.data.from_pandas(left),
+                      ray.data.from_pandas(right),
+                      by="u", on="ts", how="inner",
+                      n_buckets=4).to_pandas()
+    assert len(inner) == want["rval"].notna().sum()
+
+
+def test_asof_join_key_isolation_and_ties():
+    """A right row never leaks across `by` keys; exact-ts matches are
+    taken (inclusive); latest-in-time wins regardless of input order."""
+    from abslog_ray.stages.join import asof_join
+    left = pd.DataFrame({"u": [1, 1, 2], "ts": [10, 20, 15],
+                         "lv": [0, 1, 2]})
+    # right deliberately unsorted: latest (u=1, ts=10) must win for ts=10
+    right = pd.DataFrame({"u": [1, 1, 2], "ts": [10, 5, 99],
+                          "rv": [100, 50, 900]})
+    got = asof_join(ray.data.from_pandas(left),
+                    ray.data.from_pandas(right),
+                    by="u", on="ts", how="left",
+                    n_buckets=2).to_pandas()
+    got = got.sort_values(["u", "ts"], ignore_index=True)
+    assert got["rv"].tolist()[:2] == [100, 100]     # inclusive + latest
+    assert pd.isna(got["rv"].iloc[2])               # u=2: no click <= 15
