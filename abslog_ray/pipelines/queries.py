@@ -153,6 +153,58 @@ def q_flagship_summary(sf_dir: str):
 SQL_FLAGSHIP = _PRELUDE + " select * from s"
 
 
+def q_sketch_quantiles(sf_dir: str):
+    """A2 scale path, driver-visible: the bounded-memory histogram
+    quantile sketch (``exact_quantiles=False`` — the auto default beyond
+    8 GiB input) against the exact value-list path, compared key-by-key
+    with a distributed bucket join.  Emits per-role key counts plus
+    ``sketch_ok`` = every key's p50/p95 within the histogram's resolution
+    (2% relative or 2 µs; log-spaced bins are ~1.4% wide) with null
+    patterns identical.  The oracle recomputes the key counts exactly and
+    asserts the bound held."""
+    import dataclasses
+
+    from abslog_ray.stages.aggregate import SUMMARY_KEYS, hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    cfg = _cfg()
+    exact = build_summary(_enriched(sf_dir),
+                          dataclasses.replace(cfg, exact_quantiles=True))
+    sketch = build_summary(_enriched(sf_dir),
+                           dataclasses.replace(cfg, exact_quantiles=False))
+    keep = SUMMARY_KEYS + ["gap_p50", "gap_p95"]
+    j = bucket_join(exact.select_columns(keep), sketch.select_columns(keep),
+                    on=SUMMARY_KEYS, how="inner", n_buckets=8)
+
+    def check(t: pa.Table) -> pa.Table:
+        ok = np.ones(t.num_rows, dtype=bool)
+        for q in ("gap_p50", "gap_p95"):
+            e = t[q].to_pandas()
+            s = t[q + "_r"].to_pandas()
+            both_null = e.isna() & s.isna()
+            ev = e.fillna(0).to_numpy(dtype=np.float64)
+            sv = s.fillna(0).to_numpy(dtype=np.float64)
+            close = np.abs(sv - ev) <= np.maximum(0.02 * np.abs(ev), 2.0)
+            ok &= (both_null | (e.notna() & s.notna() & close)).to_numpy()
+        return pa.table({"role": t["role"],
+                         "key_ok": pa.array(ok.astype(np.int64))})
+
+    checked = j.map_batches(check, batch_format="pyarrow")
+    agg = hash_aggregate(checked, ["role"], {
+        "n_keys": ("*", "count"),
+        "min_ok": ("key_ok", "min"),
+    }, n_buckets=4).to_pandas()
+    agg["sketch_ok"] = agg["min_ok"] == 1
+    agg["n_keys"] = agg["n_keys"].astype("int64")
+    return (agg[["role", "n_keys", "sketch_ok"]]
+            .sort_values("role", ignore_index=True))
+
+
+SQL_SKETCH_QUANTILES = _PRELUDE + """
+select role, count(*) as n_keys, true as sketch_ok
+from s group by role order by role"""
+
+
 def q_parse_fields(sf_dir: str):
     """M1/M2/M3/M8: per-row parse output."""
     from abslog_ray.functions.parse import make_parse_fn
@@ -981,6 +1033,7 @@ SQL_LSH_ANN = _lsh_ann_sql()
 QUERIES = {
     # transcript pipeline family (flagship; full SQL oracle via derivation)
     "flagship_summary": (q_flagship_summary, SQL_FLAGSHIP),
+    "sketch_quantiles": (q_sketch_quantiles, SQL_SKETCH_QUANTILES),
     "parse_fields": (q_parse_fields, SQL_PARSE_FIELDS),
     "abstraction": (q_abstraction, SQL_ABSTRACTION),
     "gaps": (q_gaps, SQL_GAPS),
