@@ -179,20 +179,28 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
             routed_dir, partition_cols=["role", "hour_str"],
             min_rows_per_file=cfg.min_rows_per_file,
             concurrency=cfg.write_concurrency)
+        t_route = time.time()
 
         back = ray.data.read_parquet(routed_dir, columns=AGG_COLUMNS,
                                      override_num_blocks=n_blocks)
         summary = build_summary(back, ccfg)
         summary.write_parquet(summary_dir,
                               min_rows_per_file=cfg.min_rows_per_file)
+        t_summary = time.time()
         totals = minute_totals(
             ray.data.read_parquet(
                 routed_dir, columns=["role", "minute", "parsed", "bytes"]))
         totals.write_parquet(totals_dir,
                              min_rows_per_file=cfg.min_rows_per_file)
+        t_totals = time.time()
 
         manifest.commit(chunk_id, chunk_files, {
             "wall_s": round(time.time() - t0, 3),
+            "phase_wall_s": {
+                "parse_enrich_route": round(t_route - t0, 3),
+                "gap_summarize": round(t_summary - t_route, 3),
+                "minute_totals": round(t_totals - t_summary, 3),
+            },
             "sinks": {"routed": _sink_stats(routed_dir),
                       "summaries": _sink_stats(summary_dir),
                       "minute_totals": _sink_stats(totals_dir)},
