@@ -2,10 +2,19 @@
 ``binary`` columns with typed metadata; decode / feature-extract / resize /
 frame-sample as actor-pool map_batches stages).
 
-The sandbox has no image/audio libraries, so the DECODE KERNELS are stubbed
-(clearly marked ``NotImplementedError`` unless the deterministic fake decoder
-is enabled) while all the Ray-side plumbing — schema handling, binary-column
-batching, actor signature, output layout — is real and tested:
+Decode support is split by what the environment can honestly do:
+
+- REAL decoders (stdlib + numpy only, no codec libraries needed):
+  **PPM (P6)** images — full header parse, pixel decode to (h, w, 3)
+  uint8, nearest-neighbor resize + re-encode (``ImageResizer``); and
+  **WAV** audio — stdlib ``wave`` + ``np.frombuffer`` sample decode with
+  RMS / peak / zero-crossing features.
+- STUBBED kernels for formats that genuinely need codec libraries
+  (JPEG/PNG/MP4...): clearly marked ``NotImplementedError`` unless the
+  deterministic fake decoder is enabled.
+
+All the Ray-side plumbing — schema handling, binary-column batching, actor
+signature, output layout — is identical for both paths and tested:
 
 - payload schema: ``media(item_id:int64, kind:string, payload:binary,
   meta:string(JSON))``
@@ -53,20 +62,124 @@ def synth_media_table(n: int = 64, seed: int = 0) -> pa.Table:
     })
 
 
+# --------------------------------------------------------------------------
+# real stdlib codecs: PPM (P6) images, WAV audio
+# --------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 PPM bytes -> (h, w, 3) uint8.  Full header parse including
+    comment lines; raises ValueError on malformed input."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":           # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1                                       # single whitespace
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize by pure index gather (no codec libs)."""
+    h, w, _ = img.shape
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """WAV bytes -> (samples float64 in [-1, 1] (n, channels), framerate).
+    Stdlib ``wave`` handles the RIFF container; 8/16/32-bit PCM."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload)) as f:
+        nch, sw, rate, nframes = (f.getnchannels(), f.getsampwidth(),
+                                  f.getframerate(), f.getnframes())
+        raw = f.readframes(nframes)
+    if sw == 1:
+        s = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 128
+    elif sw == 2:
+        s = np.frombuffer(raw, np.int16).astype(np.float64) / 32768
+    elif sw == 4:
+        s = np.frombuffer(raw, np.int32).astype(np.float64) / 2147483648
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return s.reshape(-1, nch), rate
+
+
+_WAV_MAGIC = (b"RIFF", b"WAVE")
+
+
+def _sniff(payload: bytes) -> str:
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == _WAV_MAGIC[0] and payload[8:12] == _WAV_MAGIC[1]:
+        return "wav"
+    return "unknown"
+
+
 class MediaDecoder:
-    """Actor-pool decode stage.  ``fake=True`` uses a deterministic stand-in
-    (sha256-derived 'features'); ``fake=False`` raises until a real codec
-    library is available in the image (STUB — see module docstring)."""
+    """Actor-pool decode stage.  PPM and WAV payloads decode for REAL
+    (stdlib + numpy); other formats need codec libraries absent from this
+    environment — ``fake=True`` substitutes a deterministic sha256 stand-in
+    for them, ``fake=False`` raises (STUB, see module docstring).
+
+    Feature vector (fixed ``feature_dim``, zero-padded):
+    - image: [1, h, w, channels, mean_r, mean_g, mean_b, std_r, std_g,
+      std_b, ...0]
+    - audio: [2, n_frames, channels, framerate, rms, peak, zero-crossing
+      rate, ...0]
+    """
 
     def __init__(self, fake: bool = False, feature_dim: int = 16):
-        # real impl would load codecs / models HERE, once per actor
+        # codecs/models load HERE, once per actor (stdlib codecs are
+        # import-cheap; a real model would be the expensive part)
         self.fake = fake
         self.dim = feature_dim
 
+    def _pad(self, vals) -> np.ndarray:
+        v = np.zeros(self.dim, dtype=np.float32)
+        v[:len(vals)] = np.asarray(vals[:self.dim], dtype=np.float32)
+        return v
+
     def _decode_one(self, payload: bytes, kind: str) -> np.ndarray:
+        fmt = _sniff(payload)
+        if fmt == "ppm":
+            img = decode_ppm(payload)
+            flat = img.reshape(-1, 3).astype(np.float64)
+            return self._pad([1, img.shape[0], img.shape[1], 3,
+                              *(flat.mean(axis=0) / 255.0),
+                              *(flat.std(axis=0) / 255.0)])
+        if fmt == "wav":
+            s, rate = decode_wav(payload)
+            mono = s.mean(axis=1)
+            zcr = float(np.mean(np.signbit(mono[1:]) !=
+                                np.signbit(mono[:-1]))) if len(mono) > 1 \
+                else 0.0
+            return self._pad([2, s.shape[0], s.shape[1], rate,
+                              float(np.sqrt(np.mean(mono ** 2))),
+                              float(np.abs(mono).max(initial=0.0)), zcr])
         if not self.fake:
             raise NotImplementedError(
-                "no image/audio codecs in this environment; construct "
+                "payload is neither PPM nor WAV, and no codec libraries "
+                "(PIL/ffmpeg) exist in this environment; construct "
                 "MediaDecoder(fake=True) for the deterministic stand-in")
         h = hashlib.sha256(payload).digest()
         raw = np.frombuffer((h * ((self.dim * 4) // len(h) + 1))[: self.dim * 4],
@@ -86,6 +199,48 @@ class MediaDecoder:
         return (batch.drop_columns(["payload"])
                      .append_column("features", feat_col)
                      .append_column("payload_bytes", nbytes))
+
+
+class ImageResizer:
+    """Actor-pool resize stage for PPM image rows: decode → nearest-
+    neighbor resize → re-encode, payload replaced in place (binary stays
+    Arrow end-to-end).  Non-PPM rows pass through untouched."""
+
+    def __init__(self, out_h: int, out_w: int):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        out = []
+        for p in payloads:
+            if _sniff(p) == "ppm":
+                out.append(encode_ppm(resize_nearest(
+                    decode_ppm(p), self.out_h, self.out_w)))
+            else:
+                out.append(p)
+        i = batch.schema.get_field_index("payload")
+        return batch.set_column(i, "payload", pa.array(out, pa.binary()))
+
+
+def synth_ppm(w: int, h: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    return encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+
+
+def synth_wav(n_frames: int, seed: int = 0, rate: int = 8000,
+              nch: int = 1) -> bytes:
+    import io
+    import wave
+    rng = np.random.default_rng(seed)
+    samples = (rng.integers(-20000, 20000, n_frames * nch)
+               .astype(np.int16))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(nch)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.tobytes())
+    return buf.getvalue()
 
 
 class FrameSampler:
@@ -137,3 +292,11 @@ def sample_frames(ds, every_k: int = 4, fake: bool = False,
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs={"every_k": every_k,
                                                  "fake": fake})
+
+
+def resize_images(ds, out_h: int, out_w: int, concurrency=(1, 4),
+                  batch_size: int = 64):
+    return ds.map_batches(ImageResizer, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"out_h": out_h,
+                                                 "out_w": out_w})
