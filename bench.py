@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "pattern_detail", "minute_totals", "exact_dedup", "token_stats",
     "jaccard_pairs", "minhash_dupes", "knn", "embedding_dupes",
     "lsh_ann", "simhash", "langid", "approx_uniq_users",
+    "purchase_attribution",
 ]
 
 
