@@ -784,6 +784,60 @@ def q_fingerprint(sf_dir: str):
 SQL_FINGERPRINT = "select doc_id, md5(text) as fp from documents"
 
 
+def q_quality_filtered(sf_dir: str):
+    """Training-data quality FILTER (the operation the quality signals
+    exist for): keep documents with enough tokens, a sane stopword rate
+    and low punctuation density.  Pure map-side — signals and predicate
+    evaluate inside one map_batches, nothing shuffles."""
+    from abslog_ray.functions.text import quality_batch
+
+    def flt(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(q["n_tokens"], 8),
+                    pc.greater_equal(q["stop_ratio"], 0.03)),
+            pc.less(q["punct_ratio"], 0.2))
+        return pa.table({"doc_id": q["doc_id"]}).filter(keep)
+
+    return _docs(sf_dir).map_batches(flt, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTERED = rf"""
+with tk as (
+  select doc_id, cast(strlen(text) as bigint) as n_chars,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') as toks,
+    cast(strlen(regexp_replace(text, '[^.,!?;:]', '', 'g')) as bigint) as n_punct
+  from documents),
+q as (
+  select doc_id,
+    cast(len(toks) as bigint) as n_tokens,
+    round(cast(len(list_filter(toks, x -> x in {_STOP_SQL})) as bigint) * 1.0
+          / greatest(len(toks), 1), 6) as stop_ratio,
+    round(n_punct * 1.0 / greatest(n_chars, 1), 6) as punct_ratio
+  from tk)
+select doc_id from q
+where n_tokens >= 8 and stop_ratio >= 0.03 and punct_ratio < 0.2"""
+
+
+def q_dedup_corpus(sf_dir: str):
+    """End-to-end exact dedup of the corpus (not just the groups): keep
+    one representative ROW per distinct text (min doc_id), drop copies.
+    Representatives come from the two-phase exact_dedup_groups; surviving
+    rows are reconstructed with a partitioned bucket join on doc_id — at
+    scale the representative set is corpus-sized, so no broadcast/driver
+    pull anywhere."""
+    from abslog_ray.stages.dedup import exact_dedup_groups
+    from abslog_ray.stages.join import bucket_join
+    reps = exact_dedup_groups(_docs(sf_dir)).select_columns(["doc_id"])
+    return bucket_join(_docs(sf_dir), reps, on="doc_id", how="inner",
+                       n_buckets=8)
+
+
+SQL_DEDUP_CORPUS = """
+select doc_id, text from documents
+where doc_id in (select min(doc_id) from documents group by md5(text))"""
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact word-3-gram Jaccard similar pairs (tau=0.5)."""
     from abslog_ray.stages.dedup import jaccard_pairs
@@ -1059,6 +1113,8 @@ QUERIES = {
                              SQL_PURCHASE_ATTRIBUTION),
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
+    "quality_filtered": (q_quality_filtered, SQL_QUALITY_FILTERED),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_scores": (q_quality, SQL_QUALITY),
     "fingerprints": (q_fingerprint, SQL_FINGERPRINT),
