@@ -11,9 +11,11 @@ JSON line:
    "queries": {...}, "sf": ..., "num_cpus": N, "turns": T,
    "turns_per_sec": R}
 
-``--scaling``: runs the headline twice in fresh subprocesses at
-num_cpus=8 and num_cpus=32 on the SAME input and reports both throughputs
-plus scaling efficiency = (thr_32 / thr_8) / 4 (target >= 0.8).
+``--scaling``: runs the headline twice in fresh subprocesses at two
+parallelism levels (``$GRAFT_SCALE_PAIR``, default 4,16 — the pair that
+isolates worker scaling from Ray's own system processes on a 32-CPU host,
+see BASELINE.md) on the SAME input and reports both throughputs plus
+scaling efficiency = (thr_hi / thr_lo) / (hi / lo) (target >= 0.8).
 """
 
 from __future__ import annotations
@@ -128,7 +130,7 @@ def run_queries() -> dict:
 def main():
     if "--scaling" in sys.argv:
         pair = tuple(int(x) for x in
-                     os.environ.get("GRAFT_SCALE_PAIR", "8,32").split(","))
+                     os.environ.get("GRAFT_SCALE_PAIR", "4,16").split(","))
         results = {}
         for ncpu in pair:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
