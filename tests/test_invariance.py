@@ -169,3 +169,24 @@ def test_exclusion_filter(t1_df, default_cfg, tmp_path):
     want = oracle.oracle_summary(oracle.oracle_gaps(oe), cfg)
     assert_frames_equal(got, want, KEYS)
     assert len(got) < len(_summary_df(d, default_cfg)) or True
+
+
+def test_actor_manifest_shared_state(tmp_path):
+    """T3: two ActorManifest handles on the same path land on one named
+    actor and observe each other's commits; the file stays the source of
+    truth (external edits honored on the next call)."""
+    from abslog_ray.state.manifest import ActorManifest, Manifest
+    ckpt = str(tmp_path / "ck")
+    a = ActorManifest.at(ckpt)
+    b = ActorManifest.at(ckpt)
+    assert not a.done("000000")
+    a.commit("000000", ["f1", "f2"], {"wall_s": 1.0})
+    assert b.done("000000", files=["f1", "f2"])
+    assert not b.done("000000", files=["f1", "f2", "f3"])  # identity check
+    # plain-file reader sees the committed chunk (same format)
+    assert Manifest.at(ckpt).done("000000")
+    # external edit: prune the entry -> both handles observe the redo state
+    m = Manifest.at(ckpt)
+    m.chunks.pop("000000")
+    m._flush()
+    assert not a.done("000000") and not b.done("000000")
