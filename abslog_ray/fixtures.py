@@ -210,7 +210,7 @@ def role_lookup_table() -> pa.Table:
 FIXTURE_CACHE = "/tmp/abslog_fixtures"
 
 TIERS = {"t1": 2_000, "t2": 60_000, "bench": 6_000_000,
-         "bench24": 24_000_000}
+         "bench24": 24_000_000, "bench48": 48_000_000}
 
 
 def fixture_parquet(tier: str = "t1", seed: int = 42,
