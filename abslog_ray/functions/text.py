@@ -91,6 +91,77 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def token_counts(ds, n_buckets: int = 16):
+    """Corpus-wide token occurrence counts: per-batch explode+factorize
+    pre-combine (one row per distinct token per batch), then the two-phase
+    hash aggregate — only pre-reduced (token, count) rows shuffle."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _parents = _tokens_with_parents(batch["text"])
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+        return pa.table({
+            "token": pa.array(uniq, pa.string()),
+            "c": pa.array(np.bincount(codes).astype(np.int64)),
+        })
+
+    return hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["token"], {"c": ("c", "sum")},
+                          n_buckets=n_buckets)
+
+
+class RarityScorer:
+    """Actor-pool scoring stage: the corpus vocabulary (token → count)
+    is broadcast once (``ray.put``) and bound per actor in ``__init__``;
+    per-doc rarity = mean over token OCCURRENCES of -ln(count/total),
+    rounded to 6 (0.0 for token-less docs).  The global-statistics →
+    broadcast → map-side-score shape of corpus-relative quality signals."""
+
+    def __init__(self, vocab_ref, total: int):
+        import ray
+        tokens, counts = ray.get(vocab_ref)
+        order = np.argsort(tokens)
+        self.tokens = tokens[order]
+        # mirror the SQL expression -ln(c / total) operation-for-operation
+        self.neglogp = -np.log(counts[order].astype(np.float64)
+                               / np.float64(total))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parents = _tokens_with_parents(batch["text"])
+        if len(flat) == 0:
+            return pa.table({"doc_id": batch["doc_id"],
+                             "rarity": pa.array(np.zeros(n))})
+        idx = np.searchsorted(self.tokens, flat)
+        sums = np.bincount(parents, weights=self.neglogp[idx], minlength=n)
+        counts = np.bincount(parents, minlength=n)
+        with np.errstate(invalid="ignore"):
+            rarity = np.round(
+                np.where(counts > 0, sums / np.maximum(counts, 1), 0.0), 6)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "rarity": pa.array(rarity)})
+
+
+def token_rarity(ds, score_ds=None, concurrency=(1, 4)):
+    """Two-pass corpus-relative rarity: pass 1 aggregates token counts
+    over ``ds``; pass 2 scores ``score_ds`` (default: ``ds`` re-read)
+    against the broadcast vocabulary.  The driver only ever holds the
+    vocabulary (bounded by |distinct tokens|; at web scale cap to a
+    top-V vocabulary with a default score for the tail)."""
+    import ray
+    counts = token_counts(ds).to_pandas()
+    total = int(counts["c"].sum())
+    vocab_ref = ray.put((counts["token"].to_numpy(dtype=object),
+                         counts["c"].to_numpy(dtype=np.int64)))
+    target = score_ds if score_ds is not None else ds
+    return target.map_batches(
+        RarityScorer, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_args=(vocab_ref, total))
+
+
 # --- language ID: tiny stopword-profile heuristic (actor-pool stage) -------
 
 LANG_PROFILES = {

@@ -838,6 +838,29 @@ select doc_id, text from documents
 where doc_id in (select min(doc_id) from documents group by md5(text))"""
 
 
+def q_token_rarity(sf_dir: str):
+    """Corpus-relative token rarity (unigram -ln p averaged over each
+    doc's token occurrences): global counts via two-phase aggregate,
+    vocabulary broadcast into an actor-pool scorer."""
+    from abslog_ray.functions.text import token_rarity
+    return token_rarity(_docs(sf_dir), score_ds=_docs(sf_dir))
+
+
+SQL_TOKEN_RARITY = r"""
+with tk as (
+  select doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as tok
+  from documents),
+tf as (select tok, count(*) as c from tk group by tok),
+tot as (select cast(sum(c) as double) as t from tf)
+select d.doc_id,
+  coalesce(round(avg(-ln(f.c / (select t from tot))), 6), 0.0) as rarity
+from documents d
+left join tk on tk.doc_id = d.doc_id
+left join tf f on f.tok = tk.tok
+group by d.doc_id"""
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact word-3-gram Jaccard similar pairs (tau=0.5)."""
     from abslog_ray.stages.dedup import jaccard_pairs
@@ -1115,6 +1138,7 @@ QUERIES = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
     "quality_filtered": (q_quality_filtered, SQL_QUALITY_FILTERED),
+    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_scores": (q_quality, SQL_QUALITY),
     "fingerprints": (q_fingerprint, SQL_FINGERPRINT),

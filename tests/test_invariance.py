@@ -190,3 +190,45 @@ def test_actor_manifest_shared_state(tmp_path):
     m.chunks.pop("000000")
     m._flush()
     assert not a.done("000000") and not b.done("000000")
+
+
+def test_extreme_skew_correctness(default_cfg, tmp_path):
+    """North-rule skew clause: one conversation holding ~85% of all turns
+    and one dominant pattern must aggregate correctly through the salted
+    two-phase path (hot keys pre-combine per batch; whole-conv bucketing
+    keeps the gap stage exact)."""
+    rng = np.random.default_rng(21)
+    n_hot, n_rest_convs, rest_len = 50_000, 150, 60
+    sizes = np.concatenate([[n_hot], np.full(n_rest_convs, rest_len)])
+    conv_ord = np.repeat(np.arange(len(sizes)), sizes)
+    n = int(sizes.sum())
+    seg_starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    turn_idx = (np.arange(n) - np.repeat(seg_starts, sizes)).astype(np.int32)
+    # dominant pattern: 90% of texts hit the same (verb, path) shape
+    hot = rng.random(n) < 0.9
+    pid = np.where(hot, 7, rng.integers(0, 40, n))
+    text = np.char.add(
+        np.char.add("evt GET /api/thing/", pid.astype("U4")),
+        " status=200 took=5ms")
+    ts = (np.int64(1_700_000_000_000_000)
+          + conv_ord.astype(np.int64) * 10_000_000_000
+          + turn_idx.astype(np.int64) * 1_000_000
+          + rng.integers(0, 1000, n))
+    df = pd.DataFrame({
+        "conv_id": pd.Series(np.char.add(
+            "c", np.char.zfill(conv_ord.astype("U8"), 8))),
+        "turn_idx": turn_idx,
+        "role": rng.choice(["user", "assistant"], n),
+        "text": pd.Series(text),
+        "tool": rng.choice(["alpha", "beta"], n),
+        "ts": pd.to_datetime(ts, unit="us"),
+    }).sample(frac=1.0, random_state=3).reset_index(drop=True)
+    d = str(tmp_path / "skew")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{d}/all.parquet")
+    got = _summary_df(d, default_cfg)
+    oe = oracle.oracle_enrich(oracle.oracle_parse(df, default_cfg),
+                              default_cfg)
+    want = oracle.oracle_summary(oracle.oracle_gaps(oe), default_cfg)
+    assert_frames_equal(got, want, KEYS)
