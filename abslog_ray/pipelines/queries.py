@@ -861,6 +861,43 @@ left join tf f on f.tok = tk.tok
 group by d.doc_id"""
 
 
+def q_heavy_tokens(sf_dir: str):
+    """K1 at 10^12 scale, driver-visible contract: Misra-Gries heavy-
+    hitter sketch over the exploded token stream (bounded memory —
+    ≤capacity counters per batch and in the merge) must surface every
+    true top-10 token; the exact counts come from the two-phase
+    token_counts aggregate and the oracle recomputes them in SQL,
+    asserting the sketch found them (mg_ok)."""
+    from abslog_ray.functions.text import _tokens_with_parents, token_counts
+    from abslog_ray.sketches import mg_heavy_hitters
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, _ = _tokens_with_parents(batch["text"])
+        return pa.table({"token": pa.array(flat.astype(object),
+                                           pa.string())})
+
+    tok_ds = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    mg, _floor = mg_heavy_hitters(tok_ds, "token", capacity=256)
+    exact = token_counts(_docs(sf_dir)).to_pandas().sort_values(
+        ["c", "token"], ascending=[False, True], ignore_index=True)
+    top = exact.head(10)
+    cand = set(mg["key"])
+    mg_ok = bool(all(t in cand for t in top["token"]))
+    return pd.DataFrame({"token": top["token"].to_numpy(dtype=object),
+                         "cnt": top["c"].astype("int64").to_numpy(),
+                         "mg_ok": np.full(len(top), mg_ok)})
+
+
+SQL_HEAVY_TOKENS = r"""
+with tk as (
+  select unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) as token
+  from documents),
+tf as (select token, count(*) as c from tk group by token)
+select token, cast(c as bigint) as cnt, true as mg_ok
+from tf order by cnt desc, token limit 10"""
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact word-3-gram Jaccard similar pairs (tau=0.5)."""
     from abslog_ray.stages.dedup import jaccard_pairs
@@ -1139,6 +1176,7 @@ QUERIES = {
     "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
     "quality_filtered": (q_quality_filtered, SQL_QUALITY_FILTERED),
     "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
+    "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_scores": (q_quality, SQL_QUALITY),
     "fingerprints": (q_fingerprint, SQL_FINGERPRINT),

@@ -130,3 +130,61 @@ def hll_distinct(ds, keys, col: str, p: int = 12, n_buckets: int = 16):
                               batch_format="pyarrow")
     return parts.groupby(KEY_BUCKET).map_groups(finalize,
                                                 batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the bounded-memory top-N path (K1 at 10^12
+# scale, where even the per-(pattern) merged table is too wide to sort).
+#
+# Mergeable summary: at most `capacity` (key, count) pairs plus a scalar
+# `floor` — the total decrement applied so far.  For any key,
+#     true_count - floor_total <= est_count <= true_count
+# and floor_total <= N / capacity.  Summaries merge by summing counts
+# (+floors) and re-trimming.  Per-batch partials are exact counts (a valid
+# summary with floor 0); phase B merges them in one vectorized pass.
+# ---------------------------------------------------------------------------
+
+def _mg_trim(keys: "np.ndarray", counts: np.ndarray, capacity: int,
+             floor: int):
+    """Reduce a (key, count) summary to ≤capacity entries MG-style:
+    subtract the (capacity+1)-th largest count from everything, drop
+    non-positive."""
+    if len(keys) <= capacity:
+        return keys, counts, floor
+    order = np.argsort(counts, kind="stable")[::-1]
+    cut = int(counts[order[capacity]])
+    keep = counts > cut
+    return keys[keep], counts[keep] - cut, floor + cut
+
+
+def mg_heavy_hitters(ds, col: str, capacity: int = 256):
+    """Approximate heavy hitters of `col`: returns a driver-side summary
+    DataFrame (key, est_count) plus the error floor — candidates are a
+    SUPERSET of every key with true count > N/capacity.  One tiny
+    all-to-one merge of ≤capacity-row partials; nothing else shuffles."""
+    import pandas as pd
+    import pyarrow as pa
+
+    FLOOR_KEY = "\x00__mg_floor__"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pandas()
+        codes, uniq = pd.factorize(vals, sort=False)
+        counts = np.bincount(codes[codes >= 0]).astype(np.int64)
+        k, c, f = _mg_trim(uniq.to_numpy(), counts, capacity, 0)
+        # one sentinel row per partial carries its trim floor through the
+        # concat (floors must SUM per partial, not per distinct value)
+        keys_out = np.concatenate([k.astype(object), [FLOOR_KEY]])
+        c_out = np.concatenate([c, [f]])
+        return pa.table({"key": pa.array(keys_out, pa.string()),
+                         "c": pa.array(c_out.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    is_floor = parts["key"] == FLOOR_KEY
+    floor_total = int(parts.loc[is_floor, "c"].sum())
+    merged = parts[~is_floor].groupby("key", sort=False)["c"].sum()
+    k, c, f = _mg_trim(merged.index.to_numpy(), merged.to_numpy(np.int64),
+                       capacity, floor_total)
+    out = pd.DataFrame({"key": k, "est_count": c}).sort_values(
+        ["est_count", "key"], ascending=[False, True], ignore_index=True)
+    return out, f

@@ -47,3 +47,27 @@ def test_hll_distinct_per_key():
     for _, row in got.iterrows():
         exact = want[row["k"]]
         assert abs(row["approx_uniq"] - exact) / exact < 0.05, row
+
+
+def test_mg_heavy_hitters_guarantee():
+    """Misra-Gries: with vocab >> capacity, every key with true count
+    > N/capacity survives, and estimates are within [true - floor, true]."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from abslog_ray.sketches import mg_heavy_hitters
+    rng = np.random.default_rng(13)
+    vals = np.char.add("k", rng.zipf(1.5, 60_000).astype("U8"))
+    ds = ray.data.from_pandas(pd.DataFrame({"v": pd.Series(vals)}))
+    cap = 64
+    mg, floor = mg_heavy_hitters(ds, "v", capacity=cap)
+    true = pd.Series(vals).value_counts()
+    assert len(pd.unique(vals)) > cap          # adversarial: must trim
+    n = len(vals)
+    assert floor <= n / cap + 1
+    est = dict(zip(mg["key"], mg["est_count"]))
+    for k, t in true.items():
+        if t > n / cap:
+            assert k in est                    # superset guarantee
+        if k in est:
+            assert t - floor <= est[k] <= t    # bound sandwich
