@@ -91,6 +91,30 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# --- PII-style redaction (training-data cleaning) --------------------------
+# ordered (RE2 pattern, replacement) rules; RE2-compatible so the DuckDB
+# oracle applies the IDENTICAL patterns.  Order matters: URLs before bare
+# numbers, emails before URLs (an email never contains '://').
+REDACTION_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{7,}\b", "<NUM>"),          # long digit runs (ids, phones)
+)
+
+
+def redact_batch(batch: pa.Table, rules=REDACTION_RULES,
+                 text_col: str = "text") -> pa.Table:
+    """Apply the ordered redaction rules with one Arrow RE2
+    replace_substring_regex pass per rule — the standard PII-scrub step
+    of a training-data pipeline, fully vectorized."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for pat, repl in rules:
+        col = pc.replace_substring_regex(col, pat, repl)
+    return pa.table({"doc_id": batch["doc_id"], "clean_text": col})
+
+
 def token_counts(ds, n_buckets: int = 16):
     """Corpus-wide token occurrence counts: per-batch explode+factorize
     pre-combine (one row per distinct token per batch), then the two-phase
@@ -160,6 +184,47 @@ def token_rarity(ds, score_ds=None, concurrency=(1, 4)):
     return target.map_batches(
         RarityScorer, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_args=(vocab_ref, total))
+
+
+def chunk_batch(batch: pa.Table, chunk_tokens: int = 64, overlap: int = 16,
+                text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Split each doc into overlapping token windows (the training-data
+    chunking step): windows of ``chunk_tokens`` at stride
+    ``chunk_tokens - overlap``, the last window clipped at the doc end;
+    token-less docs emit no chunks.  flat-map shape (output rows = total
+    chunks), fully vectorized: one regex split, numpy window arithmetic,
+    one Arrow ``binary_join`` to materialize chunk text."""
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be < chunk_tokens"
+    flat, parents = _tokens_with_parents(batch[text_col])
+    nrows = batch.num_rows
+    n = np.bincount(parents, minlength=nrows).astype(np.int64)
+    row_off = np.zeros(nrows + 1, np.int64)
+    np.cumsum(n, out=row_off[1:])
+    m = np.where(n > 0, np.maximum(1, -(-(n - overlap) // stride)), 0)
+    total_chunks = int(m.sum())
+    doc_row = np.repeat(np.arange(nrows), m)
+    cum_m = np.zeros(nrows + 1, np.int64)
+    np.cumsum(m, out=cum_m[1:])
+    chunk_idx = np.arange(total_chunks) - np.repeat(cum_m[:-1], m)
+    starts = chunk_idx * stride
+    lens = np.minimum(starts + chunk_tokens, n[doc_row]) - starts
+    tot = int(lens.sum())
+    chunk_off = np.zeros(total_chunks + 1, np.int64)
+    np.cumsum(lens, out=chunk_off[1:])
+    idx = (np.arange(tot) - np.repeat(chunk_off[:-1], lens)
+           + np.repeat(row_off[doc_row] + starts, lens))
+    assert tot < (1 << 31), "chunk token offsets overflow int32"
+    lst = pa.ListArray.from_arrays(
+        pa.array(chunk_off.astype(np.int32), pa.int32()),
+        pa.array(flat[idx].astype(object), pa.string()))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_row]
+    return pa.table({
+        id_col: pa.array(ids),
+        "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
+        "chunk_text": pc.binary_join(lst, " "),
+        "n_tokens": pa.array(lens.astype(np.int64)),
+    })
 
 
 # --- language ID: tiny stopword-profile heuristic (actor-pool stage) -------

@@ -861,6 +861,62 @@ left join tf f on f.tok = tk.tok
 group by d.doc_id"""
 
 
+def q_redacted(sf_dir: str):
+    """PII-style scrub: ordered RE2 redaction rules (email → URL → long
+    digit runs), one vectorized Arrow replace pass per rule; the oracle
+    applies the IDENTICAL patterns via DuckDB's RE2 regexp_replace."""
+    from abslog_ray.functions.text import redact_batch
+    return _docs(sf_dir).map_batches(redact_batch, batch_format="pyarrow")
+
+
+def _redact_sql() -> str:
+    from abslog_ray.functions.text import REDACTION_RULES
+    expr = "text"
+    for pat, repl in REDACTION_RULES:
+        pat = pat.replace("\\", "\\\\").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"select doc_id, {expr} as clean_text from documents"
+
+
+SQL_REDACTED = _redact_sql()
+
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
+
+
+def q_chunks(sf_dir: str):
+    """Training chunking: overlapping token windows per doc (flat-map —
+    output rows = total chunks), chunk text re-joined from tokens so both
+    engines define it identically."""
+    from abslog_ray.functions.text import chunk_batch
+    return _docs(sf_dir).map_batches(
+        lambda b: chunk_batch(b, CHUNK_TOKENS, CHUNK_OVERLAP),
+        batch_format="pyarrow")
+
+
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+SQL_CHUNKS = rf"""
+with tk as (
+  select doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') as toks
+  from documents),
+nn as (select doc_id, toks, len(toks) as n from tk where len(toks) > 0),
+c as (
+  select doc_id, toks, n,
+    unnest(generate_series(0,
+      greatest(1, cast(ceil((n - {CHUNK_OVERLAP}) * 1.0 / {_STRIDE})
+               as bigint)) - 1)) as chunk_idx
+  from nn)
+select doc_id, cast(chunk_idx as bigint) as chunk_idx,
+  array_to_string(
+    toks[chunk_idx * {_STRIDE} + 1 :
+         least(chunk_idx * {_STRIDE} + {CHUNK_TOKENS}, n)], ' ')
+    as chunk_text,
+  cast(least(chunk_idx * {_STRIDE} + {CHUNK_TOKENS}, n)
+       - chunk_idx * {_STRIDE} as bigint) as n_tokens
+from c"""
+
+
 def q_heavy_tokens(sf_dir: str):
     """K1 at 10^12 scale, driver-visible contract: Misra-Gries heavy-
     hitter sketch over the exploded token stream (bounded memory —
@@ -1177,6 +1233,8 @@ QUERIES = {
     "quality_filtered": (q_quality_filtered, SQL_QUALITY_FILTERED),
     "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
+    "redacted": (q_redacted, SQL_REDACTED),
+    "chunks": (q_chunks, SQL_CHUNKS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_scores": (q_quality, SQL_QUALITY),
     "fingerprints": (q_fingerprint, SQL_FINGERPRINT),

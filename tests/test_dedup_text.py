@@ -208,3 +208,32 @@ def test_blocked_near_dup_tiling_equivalence():
         tiled.sort_values(key, ignore_index=True),
         whole.sort_values(key, ignore_index=True))
     assert len(tiled) >= 10
+
+
+def test_chunk_batch_boundaries():
+    """Chunk windows vs a naive per-doc reference across boundary sizes:
+    below/at/above one window, exact stride multiples, empty docs."""
+    from abslog_ray.functions.text import chunk_batch
+    C, O, S = 10, 4, 6
+    docs = {
+        0: "",                                  # no tokens -> no chunks
+        1: "a",                                 # 1 token -> one short chunk
+        2: " ".join(f"t{i}" for i in range(10)),   # == chunk
+        3: " ".join(f"t{i}" for i in range(11)),   # chunk + 1
+        4: " ".join(f"t{i}" for i in range(16)),   # start of 2nd window == stride bound
+        5: " ".join(f"t{i}" for i in range(23)),   # 3 windows, last clipped
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()), pa.string())})
+    out = chunk_batch(t, chunk_tokens=C, overlap=O).to_pandas()
+    for did, text in docs.items():
+        toks = [x for x in text.split() if x]
+        n = len(toks)
+        want = []
+        if n:
+            m = max(1, -(-(n - O) // S))
+            for i in range(m):
+                want.append(" ".join(toks[i * S:min(i * S + C, n)]))
+        got = out[out.doc_id == did].sort_values("chunk_idx")
+        assert got["chunk_text"].tolist() == want
+        assert got["n_tokens"].tolist() == [len(w.split()) for w in want]
