@@ -82,12 +82,30 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, fp = hex md5 of the utf-8 text (== DuckDB md5(text))."""
+    """doc_id, fp = hex md5 of the utf-8 text (== DuckDB md5(text)).
+    Per-row C md5 (~1µs/doc) kept because the oracle mirrors it; use
+    fingerprint_fast_batch for the vectorized non-oracle scale path."""
     text = batch["text"].to_pandas()
     fp = text.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
     return pa.table({
         "doc_id": batch["doc_id"],
         "fp": pa.array(fp, pa.string()),
+    })
+
+
+def fingerprint_fast_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, fp64 = SipHash-1-3 of the text (pd.util.hash_array — one
+    vectorized pass, no per-row Python).  The 64-bit scale-path variant of
+    fingerprint_batch (VERDICT r01 wrong #7): same dedup semantics, not
+    SQL-mirrorable, ~20x faster per batch."""
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    h = pd.util.hash_array(
+        text.to_numpy(zero_copy_only=False).astype(object, copy=False))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fp64": pa.array(h.astype(np.int64)),
     })
 
 

@@ -39,23 +39,35 @@ def _stable_hash64(arr: np.ndarray) -> np.ndarray:
 # exact dedup
 # --------------------------------------------------------------------------
 
-def exact_dedup_groups(ds, id_col="doc_id", text_col="text"):
+def exact_dedup_groups(ds, id_col="doc_id", text_col="text",
+                       hash_fn: str = "md5"):
     """One row per distinct text: doc_id = min id in group, n_copies.
     Two-phase: per-batch partial (hash → min id, count) then a vectorized
-    hash-bucket merge over partials."""
+    hash-bucket merge over partials.
+
+    hash_fn="md5" (default): hex md5 content hash, per-row C call — kept
+    because DuckDB's md5() mirrors it for the oracle.  hash_fn="sip":
+    vectorized 64-bit SipHash (pd.util.hash_array, no per-row Python) —
+    the non-oracle scale path; fp column becomes int64."""
     from abslog_ray.stages.aggregate import hash_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
         import hashlib
         text = batch[text_col].to_pandas()
-        h = text.map(lambda s: hashlib.md5(s.encode()).hexdigest()).to_numpy()
+        if hash_fn == "sip":
+            h = _stable_hash64(text.to_numpy()).astype(np.int64)
+        else:
+            h = text.map(
+                lambda s: hashlib.md5(s.encode()).hexdigest()).to_numpy()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         codes, uniq = pd.factorize(pd.Series(h), sort=False)
         G = len(uniq)
         mins = np.full(G, np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(mins, codes, ids)
+        fp = (pa.array(uniq.astype(np.int64)) if hash_fn == "sip"
+              else pa.array(uniq, pa.string()))
         return pa.table({
-            "fp": pa.array(uniq, pa.string()),
+            "fp": fp,
             "doc_id": pa.array(mins),
             "n_copies": pa.array(np.bincount(codes, minlength=G).astype(np.int64)),
         })

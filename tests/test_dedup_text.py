@@ -237,3 +237,19 @@ def test_chunk_batch_boundaries():
         got = out[out.doc_id == did].sort_values("chunk_idx")
         assert got["chunk_text"].tolist() == want
         assert got["n_tokens"].tolist() == [len(w.split()) for w in want]
+
+
+def test_fast_hash_variants_match_md5_semantics(docs_with_dupes):
+    """The vectorized SipHash scale paths group/fingerprint identically to
+    the md5 oracle paths (same partitions, different hash encoding)."""
+    from abslog_ray.functions.text import fingerprint_fast_batch
+    ds = ray.data.from_pandas(docs_with_dupes)
+    md5_groups = exact_dedup_groups(ds).to_pandas()
+    sip_groups = exact_dedup_groups(ds, hash_fn="sip").to_pandas()
+    assert sorted(md5_groups["doc_id"]) == sorted(sip_groups["doc_id"])
+    assert (md5_groups.sort_values("doc_id")["n_copies"].tolist()
+            == sip_groups.sort_values("doc_id")["n_copies"].tolist())
+    t = pa.Table.from_pandas(docs_with_dupes, preserve_index=False)
+    fp = fingerprint_fast_batch(t).to_pandas().set_index("doc_id")["fp64"]
+    assert fp.loc[0] == fp.loc[50]              # exact dup
+    assert fp.loc[0] != fp.loc[1]
