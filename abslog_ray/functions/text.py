@@ -170,6 +170,7 @@ class RarityScorer:
         # mirror the SQL expression -ln(c / total) operation-for-operation
         self.neglogp = -np.log(counts[order].astype(np.float64)
                                / np.float64(total))
+        self.unseen = -np.log(1.0 / np.float64(max(total, 1)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -177,8 +178,18 @@ class RarityScorer:
         if len(flat) == 0:
             return pa.table({"doc_id": batch["doc_id"],
                              "rarity": pa.array(np.zeros(n))})
-        idx = np.searchsorted(self.tokens, flat)
-        sums = np.bincount(parents, weights=self.neglogp[idx], minlength=n)
+        if len(self.tokens) == 0:
+            logp = np.full(len(flat), self.unseen)
+        else:
+            idx = np.clip(np.searchsorted(self.tokens, flat),
+                          0, len(self.tokens) - 1)
+            # tokens absent from the vocabulary (score_ds disjoint from
+            # the stats corpus) score as the rarest-possible -ln(1/total)
+            # rather than borrowing a neighbor's probability (or crashing
+            # past-end)
+            logp = np.where(self.tokens[idx] == flat,
+                            self.neglogp[idx], self.unseen)
+        sums = np.bincount(parents, weights=logp, minlength=n)
         counts = np.bincount(parents, minlength=n)
         with np.errstate(invalid="ignore"):
             rarity = np.round(

@@ -293,8 +293,11 @@ def q_top_patterns(sf_dir: str):
     total = int(merged.aggregate(Sum("hits", alias_name="t"))["t"])
 
     def add_pct(t: pa.Table) -> pa.Table:
-        pct = pc.round(pc.multiply(pc.divide(
-            pc.cast(t["hits"], pa.float64()), float(total)), 100.0), 6)
+        # operation-for-operation mirror of SQL round(hits*100.0/total,6):
+        # multiply FIRST, one division — a divide-then-multiply double
+        # rounding could land on the other side of a 5e-7 boundary
+        pct = pc.round(pc.divide(pc.multiply(
+            pc.cast(t["hits"], pa.float64()), 100.0), float(total)), 6)
         return t.append_column("hits_pct", pct)
 
     out = merged.map_batches(add_pct, batch_format="pyarrow")
@@ -870,10 +873,16 @@ def q_redacted(sf_dir: str):
 
 
 def _redact_sql() -> str:
+    # DuckDB single-quoted literals keep backslashes LITERALLY (no
+    # unescaping), so the RE2 pattern goes in verbatim — doubling the
+    # backslashes would corrupt every rule (caught by
+    # tests/test_dedup_text.py::test_redaction_engine_equals_sql, which
+    # runs both sides on text that actually matches; the driver corpus
+    # contains no emails/URLs, so its check alone is vacuous here)
     from abslog_ray.functions.text import REDACTION_RULES
     expr = "text"
     for pat, repl in REDACTION_RULES:
-        pat = pat.replace("\\", "\\\\").replace("'", "''")
+        pat = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return f"select doc_id, {expr} as clean_text from documents"
 

@@ -39,7 +39,7 @@ from abslog_ray.sources.transcripts import list_fragments, read_transcripts
 from abslog_ray.stages.aggregate import minute_totals, summarize
 from abslog_ray.stages.enrich import Enricher
 from abslog_ray.stages.gaps import with_gaps
-from abslog_ray.state.manifest import ActorManifest, Manifest
+from abslog_ray.state.manifest import ActorManifest
 
 # reference homage: abs-log keys minute documents by yymmddHHMM strings
 MINUTE_FMT = "%y%m%d%H%M"
@@ -132,12 +132,13 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
 
     assert cfg.sink_root, "cfg.sink_root required"
     ckpt = cfg.checkpoint_dir or os.path.join(cfg.sink_root, "_checkpoint")
-    # T3 scale shape: serialize manifest access through the named actor
-    # when a Ray session exists (multi-driver safe); plain file writer
-    # otherwise (same format, same API)
-    import ray
-    manifest = (ActorManifest.at(ckpt) if ray.is_initialized()
-                else Manifest.at(ckpt))
+    # T3 scale shape: ALWAYS serialize manifest access through the named
+    # actor.  Checking ray.is_initialized() here would race Ray Data's
+    # lazy auto-init (a fresh driver is uninitialized until the first read
+    # executes) and silently fall back to the unserialized file writer —
+    # the multi-driver corruption the actor exists to prevent.  Actor
+    # creation auto-inits Ray exactly like the Dataset read below would.
+    manifest = ActorManifest.at(ckpt)
 
     files = (list_fragments(input_path)
              if isinstance(input_path, str) else list(input_path))
@@ -171,8 +172,12 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
 
         n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
-        n_blocks = resolve_read_blocks(n_cpus, in_bytes)
-        ds = read_transcripts(chunk_files, override_num_blocks=n_blocks)
+        # only override block count when the input size is known; with an
+        # unknown size Ray's own autotuner is the safer choice
+        blocks_kw = ({"override_num_blocks":
+                      resolve_read_blocks(n_cpus, in_bytes)}
+                     if in_bytes > 0 else {})
+        ds = read_transcripts(chunk_files, **blocks_kw)
         enriched = build_enriched(ds, ccfg).map_batches(
             add_minute_str, batch_format="pyarrow")
         enriched.write_parquet(
@@ -182,7 +187,7 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
         t_route = time.time()
 
         back = ray.data.read_parquet(routed_dir, columns=AGG_COLUMNS,
-                                     override_num_blocks=n_blocks)
+                                     **blocks_kw)
         summary = build_summary(back, ccfg)
         summary.write_parquet(summary_dir,
                               min_rows_per_file=cfg.min_rows_per_file)

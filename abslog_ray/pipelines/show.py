@@ -21,6 +21,10 @@ import pyarrow.compute as pc
 
 import ray.data
 
+# exact int64 segment sum — single definition lives with the aggregate
+# kernels (a second copy here went stale-prone, r02 review)
+from abslog_ray.stages.aggregate import _seg_sum_int64
+
 QUANT_COLS = ("gap_p25", "gap_p50", "gap_p75", "gap_p95")
 SUM_COLS = ("hits", "err_hits", "bytes_sum", "gap_count")
 
@@ -44,14 +48,6 @@ def filter_range(ds, t_from=None, t_to=None, role=None):
             mask = pc.and_(mask, pc.equal(t["role"], role))
         return t.filter(mask)
     return ds.map_batches(fn, batch_format="pyarrow")
-
-
-def _seg_sum_int64(codes: np.ndarray, vals: np.ndarray, G: int) -> np.ndarray:
-    """Exact int64 segment sum (np.add.at — no float64 2^53 ceiling)."""
-    out = np.zeros(G, dtype=np.int64)
-    if len(codes):
-        np.add.at(out, codes, vals.astype(np.int64, copy=False))
-    return out
 
 
 def _int_col(t: pa.Table, name: str):
@@ -203,8 +199,9 @@ def with_pct(ds, cols=("hits", "bytes_sum")):
     def fn(t: pa.Table) -> pa.Table:
         for c in cols:
             tot = totals[f"_t_{c}"]
-            pct = pc.round(pc.multiply(pc.divide(
-                pc.cast(t[c], pa.float64()), float(tot)), 100.0), 6)
+            # multiply first, single division — mirrors SQL x*100.0/total
+            pct = pc.round(pc.divide(pc.multiply(
+                pc.cast(t[c], pa.float64()), 100.0), float(tot)), 6)
             t = t.append_column(f"{c}_pct", pct)
         return t
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -165,22 +165,24 @@ def mg_heavy_hitters(ds, col: str, capacity: int = 256):
     import pandas as pd
     import pyarrow as pa
 
-    FLOOR_KEY = "\x00__mg_floor__"
-
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch[col].to_pandas()
         codes, uniq = pd.factorize(vals, sort=False)
         counts = np.bincount(codes[codes >= 0]).astype(np.int64)
         k, c, f = _mg_trim(uniq.to_numpy(), counts, capacity, 0)
-        # one sentinel row per partial carries its trim floor through the
-        # concat (floors must SUM per partial, not per distinct value)
-        keys_out = np.concatenate([k.astype(object), [FLOOR_KEY]])
+        # one OUT-OF-BAND sentinel row per partial (null key + flag)
+        # carries its trim floor through the concat — floors must SUM per
+        # partial, and no real key value can collide with a flag column
+        keys_out = np.concatenate([k.astype(object), [None]])
         c_out = np.concatenate([c, [f]])
+        is_floor = np.zeros(len(keys_out), dtype=bool)
+        is_floor[-1] = True
         return pa.table({"key": pa.array(keys_out, pa.string()),
-                         "c": pa.array(c_out.astype(np.int64))})
+                         "c": pa.array(c_out.astype(np.int64)),
+                         "is_floor": pa.array(is_floor)})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    is_floor = parts["key"] == FLOOR_KEY
+    is_floor = parts["is_floor"].to_numpy()
     floor_total = int(parts.loc[is_floor, "c"].sum())
     merged = parts[~is_floor].groupby("key", sort=False)["c"].sum()
     k, c, f = _mg_trim(merged.index.to_numpy(), merged.to_numpy(np.int64),

@@ -123,12 +123,23 @@ def transcripts_from_events(events_path: str, n_buckets: int = 16):
             n_cpus = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:
         pass
-    disk = os.path.getsize(events_path) if os.path.isfile(events_path) else 0
-    n_blocks = resolve_read_blocks(n_cpus, disk * PARQUET_DECODE_EXPANSION)
+    if os.path.isfile(events_path):
+        disk = os.path.getsize(events_path)
+    elif os.path.isdir(events_path):
+        disk = sum(os.path.getsize(f) for f in list_fragments(events_path))
+    else:
+        disk = 0
+    kw = {}
+    if disk > 0:
+        # only override when the size is actually known — forcing
+        # 2x-CPUs blocks on an unknown-size (e.g. remote) input could
+        # mean multi-GB blocks; Ray's autotuner is the safer fallback
+        kw["override_num_blocks"] = resolve_read_blocks(
+            n_cpus, disk * PARQUET_DECODE_EXPANSION)
 
     ds = ray.data.read_parquet(
         events_path, columns=["event_id", "ts", "user_id", "event_type"],
-        override_num_blocks=n_blocks)
+        **kw)
     ds = ds.map_batches(_events_to_transcript_batch, batch_format="pandas")
     ds = ds.map_batches(add_bucket_fn("conv_id", n_buckets),
                         batch_format="pyarrow")

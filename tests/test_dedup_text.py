@@ -253,3 +253,35 @@ def test_fast_hash_variants_match_md5_semantics(docs_with_dupes):
     fp = fingerprint_fast_batch(t).to_pandas().set_index("doc_id")["fp64"]
     assert fp.loc[0] == fp.loc[50]              # exact dup
     assert fp.loc[0] != fp.loc[1]
+
+
+def test_redaction_engine_equals_sql(tmp_path):
+    """Non-vacuous redaction oracle check: the driver corpus contains no
+    emails/URLs/digit-runs, so this pins engine == SQL on text that
+    actually triggers every rule (r02 review: backslash doubling had
+    silently corrupted the SQL patterns)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from abslog_ray.functions.text import redact_batch
+    from abslog_ray.pipelines.queries import SQL_REDACTED
+    texts = [
+        "call 12345678 or visit https://shop.example.com/sales?x=1 now",
+        "mail bob.smith+x@mail.example.co.uk ok",
+        "short 123 id but long 9876543210 one",
+        "nothing to redact here",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    got = redact_batch(t).to_pandas().sort_values("doc_id",
+                                                  ignore_index=True)
+    assert "<NUM>" in got["clean_text"][0] and "<URL>" in got["clean_text"][0]
+    assert got["clean_text"][1] == "mail <EMAIL> ok"
+    assert got["clean_text"][2] == "short 123 id but long <NUM> one"
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(t, p)
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from read_parquet('{p}')")
+    want = con.execute(SQL_REDACTED).df().sort_values("doc_id",
+                                                      ignore_index=True)
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
