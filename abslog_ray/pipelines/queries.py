@@ -256,6 +256,44 @@ SQL_GAPS = _PRELUDE + \
     " select conv_id, turn_idx, cast(gap_us as double) as gap_us from g"
 
 
+def q_conversation_texts(sf_dir: str):
+    """The north-star per-row invariant, driver-visible: per-turn text
+    equality under stable (conv_id, turn_idx) ordering, expressed as the
+    newline-join of each conversation's texts in turn order.  Whole
+    conversations co-locate via the same bucket hash as the gap stage;
+    one vectorized sort + arrow binary_join per bucket."""
+    from abslog_ray.stages.gaps import BUCKET_COL, add_bucket_fn
+    ds = _tp(sf_dir).map_batches(add_bucket_fn("conv_id", 16),
+                                 batch_format="pyarrow")
+
+    def joined(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                            ignore_index=True)
+        codes, uniq = pd.factorize(df["conv_id"], sort=False)
+        offs = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(np.bincount(codes, minlength=len(uniq)), out=offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), pa.int32()),
+            pa.array(df["text"].to_numpy(), pa.string()))
+        import pyarrow.compute as _pc
+        return pd.DataFrame({
+            "conv_id": uniq,
+            "full_text": _pc.binary_join(lst, "\n").to_pandas(),
+            "n_turns": np.diff(offs).astype(np.int64),
+        })
+
+    return ds.groupby(BUCKET_COL).map_groups(
+        lambda df: joined(df.drop(columns=[BUCKET_COL])),
+        batch_format="pandas")
+
+
+SQL_CONVERSATION_TEXTS = _PRELUDE + """
+select conv_id,
+  string_agg(text, chr(10) order by turn_idx) as full_text,
+  count(*) as n_turns
+from t group by conv_id"""
+
+
 def q_routed_counts(sf_dir: str):
     """S3/M6: router fan-out row counts per (role, minute)."""
     return route_counts(_enriched(sf_dir))
@@ -1216,6 +1254,7 @@ QUERIES = {
     "parse_fields": (q_parse_fields, SQL_PARSE_FIELDS),
     "abstraction": (q_abstraction, SQL_ABSTRACTION),
     "gaps": (q_gaps, SQL_GAPS),
+    "conversation_texts": (q_conversation_texts, SQL_CONVERSATION_TEXTS),
     "routed_counts": (q_routed_counts, SQL_ROUTED_COUNTS),
     "minute_totals": (q_minute_totals, SQL_MINUTE_TOTALS),
     "top_patterns": (q_top_patterns, SQL_TOP_PATTERNS),
