@@ -75,3 +75,34 @@ def test_approx_uniq_users_accuracy(tmp_path):
     assert len(m) == len(want)
     assert (m["uniq_users"] == m["u"]).all()
     assert m["hll_ok"].all()
+
+
+def test_extra_stage_composes_redaction():
+    """X2 extension surface composes with the new text operators: a user
+    can insert redact-style scrubbing of the `text` column as an
+    extra_stage and the pipeline runs it after enrich."""
+    import dataclasses
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from abslog_ray.config import PipelineConfig
+    from abslog_ray.fixtures import ROLE_SINKS, TOOL_CATS, fixture_parquet
+    from abslog_ray.functions.text import REDACTION_RULES
+    from abslog_ray.pipelines.run import build_enriched
+
+    def scrub(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for pat, repl in REDACTION_RULES:
+            col = pc.replace_substring_regex(col, pat, repl)
+        return t.set_column(t.schema.get_field_index("text"), "text", col)
+
+    cfg = PipelineConfig(tool_lookup=dict(TOOL_CATS),
+                         role_lookup=dict(ROLE_SINKS),
+                         enrich_concurrency=(1, 2),
+                         extra_stages=(scrub,))
+    ds = ray.data.read_parquet(fixture_parquet("t1"))
+    out = build_enriched(ds, cfg).limit(500).to_pandas()
+    # fixture texts contain long numeric ids -> scrubbed to <NUM>
+    assert out["text"].str.contains("<NUM>").any()

@@ -122,3 +122,36 @@ class TestExactSegmentSums:
         codes = np.array([0, 1, 0])
         got = _seg_sum_int64(codes, vals, 2)
         assert got[0] == (1 << 61) + 3 - 7 and got[1] == (1 << 61) + 5
+
+
+class TestChunkFuzz:
+    """Randomized chunk_batch configs vs a naive per-doc reference
+    (pure kernel, no Ray)."""
+
+    def test_random_configs(self):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        from abslog_ray.functions.text import chunk_batch
+        rng = np.random.default_rng(17)
+        for _ in range(20):
+            C = int(rng.integers(2, 40))
+            O = int(rng.integers(0, C - 1))
+            S = C - O
+            n_docs = int(rng.integers(1, 30))
+            texts = [" ".join(f"w{j}" for j in range(rng.integers(0, 90)))
+                     for _ in range(n_docs)]
+            t = pa.table({
+                "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+                "text": pa.array(texts, pa.string())})
+            out = chunk_batch(t, chunk_tokens=C, overlap=O).to_pandas()
+            for did, text in enumerate(texts):
+                toks = [x for x in text.split() if x]
+                n = len(toks)
+                want = []
+                if n:
+                    m = max(1, -(-(n - O) // S))
+                    want = [" ".join(toks[i * S:min(i * S + C, n)])
+                            for i in range(m)]
+                got = out[out.doc_id == did].sort_values("chunk_idx")
+                assert got["chunk_text"].tolist() == want, (C, O, n)
