@@ -37,6 +37,12 @@ def main(argv=None):
     runp.add_argument("--checkpoint")
     runp.add_argument("--chunk-files", type=int, default=64)
 
+    qp = sub.add_parser("query", help="run any registry query by name")
+    qp.add_argument("--name", required=True)
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qp.add_argument("--list", action="store_true",
+                    help="list available query names and exit")
+
     for name in ("request", "detail", "distribution"):
         q = sub.add_parser(name)
         q.add_argument("--sink", required=True)
@@ -56,6 +62,23 @@ def main(argv=None):
     _init_ray()
 
     import pandas as pd
+
+    if args.cmd == "query":
+        from abslog_ray.pipelines.queries import QUERIES
+        if args.name not in QUERIES:
+            print("available queries:", ", ".join(sorted(QUERIES)))
+            return 0 if args.list else 2
+        fn, _sql = QUERIES[args.name]
+        res = fn(args.sf_dir)
+        import ray.data
+        if isinstance(res, ray.data.Dataset):
+            res = res.to_pandas()
+        elif not isinstance(res, pd.DataFrame):
+            res = res.to_pandas()
+        print(res.to_string())
+        import ray
+        ray.shutdown()
+        return 0
 
     if args.cmd == "run":
         from abslog_ray.config import PipelineConfig
