@@ -6,6 +6,7 @@ log_analyse.py collector).
     python -m abslog_ray.cli request --sink DIR [-l N] [-f ISO] [-t ISO] [-s ROLE]
     python -m abslog_ray.cli detail --sink DIR --pattern P [-l N]
     python -m abslog_ray.cli distribution --sink DIR [--unit hour]
+    python -m abslog_ray.cli query --name NAME [--sf-dir DIR] [--list]
 
 Owns its Ray session (the ONLY library-adjacent place allowed to init Ray
 besides bench.py and the test fixture).
