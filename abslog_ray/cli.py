@@ -39,8 +39,10 @@ def main(argv=None):
     runp.add_argument("--chunk-files", type=int, default=64)
 
     qp = sub.add_parser("query", help="run any registry query by name")
-    qp.add_argument("--name", required=True)
+    qp.add_argument("--name")
     qp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qp.add_argument("-l", "--limit", type=int, default=20,
+                    help="max rows to print (0 = all)")
     qp.add_argument("--list", action="store_true",
                     help="list available query names and exit")
 
@@ -66,16 +68,15 @@ def main(argv=None):
 
     if args.cmd == "query":
         from abslog_ray.pipelines.queries import QUERIES
-        if args.name not in QUERIES:
+        if args.list or args.name is None or args.name not in QUERIES:
             print("available queries:", ", ".join(sorted(QUERIES)))
-            return 0 if args.list else 2
+            return 0 if (args.list or args.name is None) else 2
         fn, _sql = QUERIES[args.name]
         res = fn(args.sf_dir)
-        import ray.data
-        if isinstance(res, ray.data.Dataset):
-            res = res.to_pandas()
-        elif not isinstance(res, pd.DataFrame):
-            res = res.to_pandas()
+        if not isinstance(res, pd.DataFrame):
+            res = res.to_pandas()     # Dataset and pyarrow.Table both have it
+        if args.limit:
+            res = res.head(args.limit)
         print(res.to_string())
         import ray
         ray.shutdown()

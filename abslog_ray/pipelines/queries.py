@@ -272,13 +272,16 @@ def q_conversation_texts(sf_dir: str):
         codes, uniq = pd.factorize(df["conv_id"], sort=False)
         offs = np.zeros(len(uniq) + 1, dtype=np.int64)
         np.cumsum(np.bincount(codes, minlength=len(uniq)), out=offs[1:])
+        # ListArray offsets are int32 — fail loudly before silent wrap
+        assert offs[-1] < (1 << 31), \
+            f"conversation-text offsets overflow int32 ({offs[-1]} rows " \
+            f"in one bucket); raise the bucket count"
         lst = pa.ListArray.from_arrays(
             pa.array(offs.astype(np.int32), pa.int32()),
             pa.array(df["text"].to_numpy(), pa.string()))
-        import pyarrow.compute as _pc
         return pd.DataFrame({
             "conv_id": uniq,
-            "full_text": _pc.binary_join(lst, "\n").to_pandas(),
+            "full_text": pc.binary_join(lst, "\n").to_pandas(),
             "n_turns": np.diff(offs).astype(np.int64),
         })
 

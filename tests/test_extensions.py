@@ -81,7 +81,6 @@ def test_extra_stage_composes_redaction():
     """X2 extension surface composes with the new text operators: a user
     can insert redact-style scrubbing of the `text` column as an
     extra_stage and the pipeline runs it after enrich."""
-    import dataclasses
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data

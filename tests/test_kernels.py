@@ -136,7 +136,7 @@ class TestChunkFuzz:
         rng = np.random.default_rng(17)
         for _ in range(20):
             C = int(rng.integers(2, 40))
-            O = int(rng.integers(0, C - 1))
+            O = int(rng.integers(0, C))   # inclusive of C-1: stride 1 covered
             S = C - O
             n_docs = int(rng.integers(1, 30))
             texts = [" ".join(f"w{j}" for j in range(rng.integers(0, 90)))
