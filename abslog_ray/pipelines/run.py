@@ -166,8 +166,13 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
                                    f"chunk={chunk_id}")
         totals_dir = os.path.join(cfg.sink_root, "minute_totals",
                                   f"chunk={chunk_id}")
-        # partially-written chunk from a crashed run: redo from scratch
-        for d in (routed_dir, summary_dir, totals_dir):
+        # mid-pipeline resume: a chunk whose "routed" phase committed keeps
+        # its routed sink (the expensive parse+enrich+route pass) and
+        # resumes at the aggregate phase; anything less is redone fully
+        routed_ready = manifest.phase(chunk_id, files=chunk_files) == "routed"
+        wipe = ((summary_dir, totals_dir) if routed_ready
+                else (routed_dir, summary_dir, totals_dir))
+        for d in wipe:
             shutil.rmtree(d, ignore_errors=True)
 
         n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
@@ -177,13 +182,18 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
         blocks_kw = ({"override_num_blocks":
                       resolve_read_blocks(n_cpus, in_bytes)}
                      if in_bytes > 0 else {})
-        ds = read_transcripts(chunk_files, **blocks_kw)
-        enriched = build_enriched(ds, ccfg).map_batches(
-            add_minute_str, batch_format="pyarrow")
-        enriched.write_parquet(
-            routed_dir, partition_cols=["role", "hour_str"],
-            min_rows_per_file=cfg.min_rows_per_file,
-            concurrency=cfg.write_concurrency)
+        if not routed_ready:
+            ds = read_transcripts(chunk_files, **blocks_kw)
+            enriched = build_enriched(ds, ccfg).map_batches(
+                add_minute_str, batch_format="pyarrow")
+            enriched.write_parquet(
+                routed_dir, partition_cols=["role", "hour_str"],
+                min_rows_per_file=cfg.min_rows_per_file,
+                concurrency=cfg.write_concurrency)
+            manifest.mark(chunk_id, "routed", chunk_files, {
+                "wall_s": round(time.time() - t0, 3),
+                "sinks": {"routed": _sink_stats(routed_dir)},
+            })
         t_route = time.time()
 
         back = ray.data.read_parquet(routed_dir, columns=AGG_COLUMNS,

@@ -51,21 +51,32 @@ class Manifest:
         return cls(os.path.join(checkpoint_dir, "manifest.json"))
 
     def done(self, chunk_id: str, files: list | None = None) -> bool:
-        c = self.chunks.get(chunk_id, {})
-        if c.get("status") != "done":
-            return False
-        if files is not None and c.get("files") != list(files):
-            return False
-        return True
+        return self.phase(chunk_id, files) == "done"
 
-    def commit(self, chunk_id: str, files: list, metrics: dict) -> None:
+    def phase(self, chunk_id: str, files: list | None = None):
+        """The chunk's recorded phase ("routed" mid-pipeline checkpoint or
+        "done"), or None — also None when the recorded input file list
+        differs from the caller's (identity check, see module doc)."""
+        c = self.chunks.get(chunk_id, {})
+        if files is not None and c.get("files") != list(files):
+            return None
+        return c.get("status")
+
+    def mark(self, chunk_id: str, phase: str, files: list,
+             metrics: dict) -> None:
+        """Record a mid-pipeline phase checkpoint (e.g. "routed": the
+        expensive parse+enrich+route pass is durable; a crashed run
+        resumes at the aggregate phase instead of re-parsing)."""
         self.chunks[chunk_id] = {
-            "status": "done",
+            "status": phase,
             "files": list(files),
             "committed_at": time.time(),
             **metrics,
         }
         self._flush()
+
+    def commit(self, chunk_id: str, files: list, metrics: dict) -> None:
+        self.mark(chunk_id, "done", files, metrics)
 
     def _flush(self) -> None:
         d = os.path.dirname(self.path)
@@ -88,6 +99,13 @@ class _ManifestHolder:
 
     def done(self, chunk_id: str, files: list | None = None) -> bool:
         return Manifest(self.path).done(chunk_id, files)
+
+    def phase(self, chunk_id: str, files: list | None = None):
+        return Manifest(self.path).phase(chunk_id, files)
+
+    def mark(self, chunk_id: str, phase: str, files: list,
+             metrics: dict) -> None:
+        Manifest(self.path).mark(chunk_id, phase, files, metrics)
 
     def commit(self, chunk_id: str, files: list, metrics: dict) -> None:
         Manifest(self.path).commit(chunk_id, files, metrics)
@@ -118,6 +136,15 @@ class ActorManifest:
     def done(self, chunk_id: str, files: list | None = None) -> bool:
         import ray
         return ray.get(self._actor.done.remote(chunk_id, files))
+
+    def phase(self, chunk_id: str, files: list | None = None):
+        import ray
+        return ray.get(self._actor.phase.remote(chunk_id, files))
+
+    def mark(self, chunk_id: str, phase: str, files: list,
+             metrics: dict) -> None:
+        import ray
+        ray.get(self._actor.mark.remote(chunk_id, phase, files, metrics))
 
     def commit(self, chunk_id: str, files: list, metrics: dict) -> None:
         import ray

@@ -232,3 +232,41 @@ def test_extreme_skew_correctness(default_cfg, tmp_path):
                               default_cfg)
     want = oracle.oracle_summary(oracle.oracle_gaps(oe), default_cfg)
     assert_frames_equal(got, want, KEYS)
+
+
+def test_mid_chunk_phase_resume(t1_path, default_cfg, tmp_path):
+    """North-rule 'resume mid-pipeline': a chunk whose routed phase
+    committed but whose aggregate phase crashed resumes WITHOUT re-running
+    parse+enrich+route (routed files untouched), and the final sinks equal
+    a clean full run."""
+    cfg_a = dataclasses.replace(default_cfg,
+                                sink_root=str(tmp_path / "a"), chunk_files=3)
+    run_pipeline(t1_path, cfg_a)
+    cfg_b = dataclasses.replace(default_cfg,
+                                sink_root=str(tmp_path / "b"), chunk_files=3)
+    run_pipeline(t1_path, cfg_b)
+
+    # simulate a crash after the routed phase of chunk 0: downgrade the
+    # manifest entry and wipe the aggregate sinks
+    ck = os.path.join(cfg_b.sink_root, "_checkpoint")
+    m = Manifest.at(ck)
+    files0 = m.chunks["000000"]["files"]
+    m.mark("000000", "routed", files0, {})
+    shutil.rmtree(os.path.join(cfg_b.sink_root, "summaries", "chunk=000000"))
+    shutil.rmtree(os.path.join(cfg_b.sink_root, "minute_totals",
+                               "chunk=000000"))
+    routed0 = sorted(glob.glob(os.path.join(
+        cfg_b.sink_root, "routed", "chunk=000000", "**", "*.parquet"),
+        recursive=True))
+    mtimes = [os.path.getmtime(f) for f in routed0]
+
+    run_pipeline(t1_path, cfg_b)
+    assert [os.path.getmtime(f) for f in routed0] == mtimes  # not re-routed
+    m = Manifest.at(ck)
+    assert m.chunks["000000"]["status"] == "done"
+    for sink in ("routed", "summaries", "minute_totals"):
+        a = ray.data.read_parquet(
+            os.path.join(cfg_a.sink_root, sink)).to_pandas()
+        b = ray.data.read_parquet(
+            os.path.join(cfg_b.sink_root, sink)).to_pandas()
+        assert_frames_equal(a, b, key_cols=None)
