@@ -65,6 +65,7 @@ def main(argv=None):
     _init_ray()
 
     import pandas as pd
+    import ray
 
     if args.cmd == "query":
         from abslog_ray.pipelines.queries import QUERIES
@@ -73,6 +74,11 @@ def main(argv=None):
             return 0 if (args.list or args.name is None) else 2
         fn, _sql = QUERIES[args.name]
         res = fn(args.sf_dir)
+        if isinstance(res, ray.data.Dataset) and args.limit:
+            # push the limit into the Dataset so row-level queries (chunks,
+            # conversation_texts, ...) never materialize the whole corpus
+            # driver-side just to print a few rows (ADVICE r02)
+            res = res.limit(args.limit)
         if not isinstance(res, pd.DataFrame):
             res = res.to_pandas()     # Dataset and pyarrow.Table both have it
         if args.limit:

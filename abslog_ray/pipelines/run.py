@@ -170,6 +170,11 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
         # its routed sink (the expensive parse+enrich+route pass) and
         # resumes at the aggregate phase; anything less is redone fully
         routed_ready = manifest.phase(chunk_id, files=chunk_files) == "routed"
+        # on a mid-pipeline resume the route phase ran in a PREVIOUS
+        # process; carry its recorded wall into the final commit instead of
+        # overwriting it with this run's ~0s (ADVICE r02 low)
+        prior_route_wall = (manifest.metrics().get(chunk_id, {}).get("wall_s")
+                            if routed_ready else None)
         wipe = ((summary_dir, totals_dir) if routed_ready
                 else (routed_dir, summary_dir, totals_dir))
         for d in wipe:
@@ -212,9 +217,11 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
         manifest.commit(chunk_id, chunk_files, {
             "wall_s": round(time.time() - t0, 3),
             "phase_wall_s": {
-                "parse_enrich_route": round(t_route - t0, 3),
+                "parse_enrich_route": (prior_route_wall if routed_ready
+                                       else round(t_route - t0, 3)),
                 "gap_summarize": round(t_summary - t_route, 3),
                 "minute_totals": round(t_totals - t_summary, 3),
+                **({"route_resumed": True} if routed_ready else {}),
             },
             "sinks": {"routed": _sink_stats(routed_dir),
                       "summaries": _sink_stats(summary_dir),

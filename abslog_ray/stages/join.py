@@ -137,6 +137,18 @@ def asof_join(left, right, by: str, on: str, how: str = "inner",
         out_empty = l.iloc[0:0][l_keep + r_val_cols]
         if len(l) == 0:
             return out_empty
+        if len(r) == 0:
+            # a bucket whose keys have no right-side rows at all (ADVICE r02
+            # high): the ffill kernel below would index empty arrays — the
+            # correct result is no matches (inner) or all-null right columns
+            # (left join)
+            if how == "inner":
+                return out_empty
+            out = l[l_keep].reset_index(drop=True)
+            empty = r[r_val_cols].reindex(range(len(out)))
+            for c in r_val_cols:
+                out[c] = empty[c].to_numpy()
+            return out
         codes, _u = pd.factorize(
             pd.concat([r[by], l[by]], ignore_index=True), sort=False)
         rcode, lcode = codes[:len(r)], codes[len(r):]

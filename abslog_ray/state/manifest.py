@@ -117,7 +117,23 @@ class _ManifestHolder:
 class ActorManifest:
     """Same API as Manifest, serialized through a named Ray actor (one per
     manifest path, ``get_if_exists`` so every driver lands on the same
-    instance)."""
+    instance).
+
+    Cross-DRIVER serialization (ADVICE r02 medium) needs two options beyond
+    the name: an explicit shared ``namespace`` (named actors are
+    namespace-scoped, and each driver job gets its own anonymous namespace
+    by default — without this, two drivers would each create a private
+    actor and race on manifest.json), and ``lifetime="detached"`` (a
+    non-detached actor dies with the job that happened to create it,
+    yanking serialization away from a still-running second driver).
+
+    Cleanup: one detached actor lives per distinct manifest path until the
+    CLUSTER goes down (``ray.shutdown()`` of the head) or ``terminate()``
+    is called; it holds no state beyond the path string (the file is the
+    source of truth), so the steady-state cost is one idle worker slot per
+    active checkpoint directory."""
+
+    NAMESPACE = "abslog-manifest"
 
     def __init__(self, path: str):
         import ray
@@ -125,8 +141,15 @@ class ActorManifest:
         name = "abslog-manifest-" + hashlib.md5(
             os.path.abspath(path).encode()).hexdigest()[:12]
         self._actor = (ray.remote(_ManifestHolder)
-                       .options(name=name, get_if_exists=True)
+                       .options(name=name, namespace=self.NAMESPACE,
+                                lifetime="detached", get_if_exists=True)
                        .remote(path))
+
+    def terminate(self) -> None:
+        """Kill the shared actor (call only when no other driver is using
+        this checkpoint path — e.g. tearing down a finished deployment)."""
+        import ray
+        ray.kill(self._actor, no_restart=True)
 
     @classmethod
     def at(cls, checkpoint_dir: str) -> "ActorManifest":

@@ -192,6 +192,45 @@ def test_actor_manifest_shared_state(tmp_path):
     assert not a.done("000000") and not b.done("000000")
 
 
+def test_actor_manifest_two_drivers(tmp_path):
+    """T3 cross-DRIVER serialization (ADVICE r02 medium): a second driver
+    process connecting to the SAME cluster must land on the SAME named
+    actor (shared namespace + detached lifetime), not silently create its
+    own and race on manifest.json."""
+    import json
+    import subprocess
+    import sys
+
+    import ray
+
+    from abslog_ray.state.manifest import ActorManifest
+    ckpt = str(tmp_path / "ck2")
+    a = ActorManifest.at(ckpt)
+    a.commit("d1", ["f1"], {"wall_s": 1.0})
+    gcs = ray.get_runtime_context().gcs_address
+    script = (
+        "import json, sys\n"
+        "import ray\n"
+        "ray.init(address=sys.argv[1], logging_level='ERROR')\n"
+        "from abslog_ray.state.manifest import ActorManifest\n"
+        "m = ActorManifest.at(sys.argv[2])\n"
+        "m.commit('d2', ['f2'], {'wall_s': 2.0})\n"
+        "print('RESULT:' + json.dumps({\n"
+        "    'actor_id': m._actor._actor_id.hex(),\n"
+        "    'sees_d1': m.done('d1', files=['f1'])}))\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script, gcs, ckpt],
+        capture_output=True, text=True, timeout=180, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    info = json.loads(line[0][len("RESULT:"):])
+    assert info["actor_id"] == a._actor._actor_id.hex()   # one shared actor
+    assert info["sees_d1"] is True
+    assert a.done("d2", files=["f2"])     # second driver's commit visible
+
+
 def test_extreme_skew_correctness(default_cfg, tmp_path):
     """North-rule skew clause: one conversation holding ~85% of all turns
     and one dominant pattern must aggregate correctly through the salted

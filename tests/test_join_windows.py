@@ -135,6 +135,50 @@ def test_asof_join_matches_pandas_merge_asof():
     assert len(inner) == want["rval"].notna().sum()
 
 
+def test_asof_join_left_only_bucket():
+    """A bucket with left rows but ZERO right rows (ADVICE r02 high: the
+    merge-path kernel indexed empty arrays and crashed).  Covered two ways:
+    a fully-empty right side, and a populated right side whose keys all
+    hash away from one left key's bucket."""
+    from abslog_ray.stages.join import asof_join
+    left = pd.DataFrame({"u": [1, 1, 2], "ts": [10, 20, 15],
+                         "lv": [0, 1, 2]})
+    right_empty = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                "ts": pd.Series([], dtype=np.int64),
+                                "rv": pd.Series([], dtype=np.int64)})
+    got = asof_join(ray.data.from_pandas(left),
+                    ray.data.from_pandas(right_empty),
+                    by="u", on="ts", how="left", n_buckets=2).to_pandas()
+    assert len(got) == 3 and got["rv"].isna().all()
+    inner = asof_join(ray.data.from_pandas(left),
+                      ray.data.from_pandas(right_empty),
+                      by="u", on="ts", how="inner", n_buckets=2).to_pandas()
+    assert len(inner) == 0
+
+    # find two keys that land in DIFFERENT buckets so the right side
+    # (one key only) leaves the other key's bucket right-empty
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+    import pyarrow as pa
+    probe = pa.table({"u": np.arange(10, dtype=np.int64)})
+    b = add_key_bucket_fn(2, keys=["u"])(probe)[KEY_BUCKET].to_numpy()
+    ka = int(probe["u"][int(np.flatnonzero(b == b[0])[0])].as_py())
+    others = np.flatnonzero(b != b[0])
+    assert len(others), "hash put all probe keys in one bucket"
+    kb = int(probe["u"][int(others[0])].as_py())
+    left2 = pd.DataFrame({"u": [ka, kb], "ts": [10, 10], "lv": [0, 1]})
+    right2 = pd.DataFrame({"u": [ka], "ts": [5], "rv": [50]})
+    got2 = asof_join(ray.data.from_pandas(left2),
+                     ray.data.from_pandas(right2),
+                     by="u", on="ts", how="left", n_buckets=2).to_pandas()
+    got2 = got2.sort_values("lv", ignore_index=True)
+    assert got2["rv"].tolist()[0] == 50
+    assert pd.isna(got2["rv"].iloc[1])
+    inner2 = asof_join(ray.data.from_pandas(left2),
+                       ray.data.from_pandas(right2),
+                       by="u", on="ts", how="inner", n_buckets=2).to_pandas()
+    assert inner2["u"].tolist() == [ka]
+
+
 def test_asof_join_key_isolation_and_ties():
     """A right row never leaks across `by` keys; exact-ts matches are
     taken (inclusive); latest-in-time wins regardless of input order."""
