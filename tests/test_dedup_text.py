@@ -140,6 +140,82 @@ def test_token_stats_and_quality():
     assert q["punct_ratio"].iloc[2] == pytest.approx(2 / 7, abs=1e-6)
 
 
+def test_distributed_top_k_matches_pandas():
+    from abslog_ray.stages.aggregate import distributed_top_k
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "tok": np.char.add("t", np.arange(500).astype("U4")),
+        "c": rng.integers(0, 50, 500).astype(np.int64),   # many count ties
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = distributed_top_k(ds, 25, ["c", "tok"],
+                            [True, False]).to_pandas()
+    want = df.sort_values(["c", "tok"], ascending=[False, True],
+                          ignore_index=True).head(25)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_token_rarity_vocab_cap(monkeypatch):
+    """Top-V vocabulary cap (VERDICT r02 #1 done-criterion): the driver
+    never pulls more than vocab_cap rows, and scores match the capped
+    semantics exactly — top-V tokens score -ln(c/total) with the EXACT
+    full-corpus total, tail tokens the -ln(1/total) default."""
+    from abslog_ray.functions.text import token_rarity
+    rng = np.random.default_rng(37)
+    vocab = np.char.add("w", np.arange(80).astype("U3"))
+    # zipf-ish frequencies so the cap boundary is well-defined
+    docs = [" ".join(rng.choice(vocab, size=30,
+                                p=(1 / np.arange(1, 81)) /
+                                (1 / np.arange(1, 81)).sum()))
+            for _ in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": docs})
+    all_toks = pd.Series(" ".join(docs).split())
+    counts = all_toks.value_counts()
+    total = int(counts.sum())
+    V = 10
+    assert counts.size > V                      # cap must actually bite
+    top = (counts.rename_axis("tok").reset_index(name="c")
+           .sort_values(["c", "tok"], ascending=[False, True]).head(V))
+    score = {t: -np.log(c / total) for t, c in zip(top["tok"], top["c"])}
+    default = -np.log(1.0 / total)
+
+    def oracle_rarity(text):
+        toks = text.split()
+        return round(float(np.mean([score.get(t, default) for t in toks])), 6)
+
+    ds = ray.data.from_pandas(df).repartition(4)
+    seen = []
+    orig = ray.data.Dataset.to_pandas
+    with monkeypatch.context() as mp:
+        def spy(self, *a, **kw):
+            out = orig(self, *a, **kw)
+            seen.append(len(out))
+            return out
+        mp.setattr(ray.data.Dataset, "to_pandas", spy)
+        res = token_rarity(ds, score_ds=ray.data.from_pandas(df),
+                           vocab_cap=V)
+        got = res.to_pandas()
+    assert seen and max(seen) <= 40     # vocab pull ≤ V; result pull = #docs
+    assert sorted(seen)[0] <= V         # the vocabulary pull itself
+    got = got.sort_values("doc_id", ignore_index=True)
+    want = np.array([oracle_rarity(t) for t in docs])
+    np.testing.assert_allclose(got["rarity"].to_numpy(), want, atol=2e-6)
+
+    # cap ≥ vocab reproduces the uncapped semantics (the driver-query path)
+    full = token_rarity(ray.data.from_pandas(df),
+                        score_ds=ray.data.from_pandas(df),
+                        vocab_cap=1_000_000).to_pandas()
+    full = full.sort_values("doc_id", ignore_index=True)
+    score_full = {t: -np.log(c / total) for t, c in counts.items()}
+    want_full = np.array([
+        round(float(np.mean([score_full[t] for t in d.split()])), 6)
+        for d in docs])
+    np.testing.assert_allclose(full["rarity"].to_numpy(), want_full,
+                               atol=2e-6)
+
+
 def test_fingerprint_matches_hashlib():
     import hashlib
     t = pa.table({"doc_id": pa.array([0], pa.int64()),

