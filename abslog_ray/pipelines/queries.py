@@ -1104,6 +1104,56 @@ select d.doc_id, coalesce(a.sim_hi, 0) as sim_hi,
 from documents d left join asm a using (doc_id)"""
 
 
+def q_simhash_dupes(sf_dir: str):
+    """SimHash Hamming near-dup pairs (hamming ≤ 3, banded search —
+    exact by pigeonhole at k=3 < 4 bands, so the oracle can be the full
+    quadratic SQL filter).  md5 token hash so DuckDB mirrors the
+    fingerprints bit-for-bit; hamming via bit_count(xor) on the hi/lo
+    halves (same device as SQL_LSH_ANN's probe join)."""
+    from abslog_ray.stages.dedup import simhash_pairs
+    ds = simhash_pairs(_docs(sf_dir), k=3, bands=4, hash_fn="md5")
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "hamming": pc.cast(t["hamming"], pa.int64()),
+        })
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+SQL_SIMHASH_DUPES = r"""
+with tk as (
+  select doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as tok
+  from documents),
+h as (
+  select doc_id,
+    cast(('0x' || substr(md5(tok), 1, 16)) as ubigint) as hv
+  from tk),
+bits as (
+  select doc_id, k,
+    sum(case when (hv >> k) & 1 = 1 then 1 else -1 end) as s
+  from h, (select unnest(generate_series(0, 63)) as k)
+  group by doc_id, k),
+asm as (
+  select doc_id,
+    cast(sum(case when s > 0 and k >= 32 then 1::bigint << (k - 32)
+                  else 0 end) as bigint) as sim_hi,
+    cast(sum(case when s > 0 and k < 32 then 1::bigint << k
+                  else 0 end) as bigint) as sim_lo
+  from bits group by doc_id),
+sim as (
+  select d.doc_id, coalesce(a.sim_hi, 0) as hi, coalesce(a.sim_lo, 0) as lo
+  from documents d left join asm a using (doc_id))
+select a.doc_id as doc_a, b.doc_id as doc_b,
+  cast(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) as bigint)
+    as hamming
+from sim a join sim b on a.doc_id < b.doc_id
+where bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"""
+
+
 def q_langid(sf_dir: str):
     """Heuristic language-ID (stopword profiles, actor pool).  Full SQL
     oracle: profile-word occurrence counting and the argmax tie-break
@@ -1299,6 +1349,7 @@ QUERIES = {
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "minhash_dupes": (q_minhash_dupes, SQL_JACCARD_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_DUPES),
     "langid": (q_langid, SQL_LANGID),
     # embeddings: similarity
     "knn": (q_knn, SQL_KNN),

@@ -434,3 +434,107 @@ def simhash(ds, id_col="doc_id", text_col="text", hash_fn: str = "sip"):
     return ds.map_batches(
         lambda b: simhash_batch(b, id_col, text_col, hash_fn),
         batch_format="pyarrow")
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64/int64 array (numpy<2 has no
+    bitwise_count): one unpackbits pass over the byte view."""
+    a = np.ascontiguousarray(a)
+    return np.unpackbits(a.view(np.uint8)).reshape(len(a), 64).sum(
+        axis=1).astype(np.int64)
+
+
+def simhash_pairs(ds, k: int = 3, bands: int = 4, id_col="doc_id",
+                  text_col="text", hash_fn: str = "sip",
+                  n_buckets: int = 32, max_band_group: int = 10_000):
+    """SimHash Hamming near-dup pair search (doc_a < doc_b,
+    hamming ≤ k) — the operator r02 flagged missing: fingerprints were
+    terminal with no pair finder.
+
+    Scale shape (banded Hamming join, the standard simhash-dedup layout):
+    the 64-bit fingerprint is split into ``bands`` equal bit-bands; by
+    pigeonhole, any pair within Hamming distance ``k < bands`` agrees
+    EXACTLY on at least one band, so grouping on (band_idx, band_value)
+    and verifying popcount(xor) ≤ k inside each group finds every
+    qualifying pair — no all-pairs work, one keyed shuffle of
+    (band, value, id, fingerprint) rows, pairs deduped across bands with
+    the two-phase hash aggregate.  Verification is vectorized (triu
+    expansion + one unpackbits popcount per group).
+
+    ``max_band_group`` guards the quadratic within-group expansion (a
+    degenerate band value shared by m docs emits C(m,2) candidates —
+    e.g. fingerprint 0 from empty docs); oversized groups are skipped
+    with a WARN like ``jaccard_pairs``.  hash_fn="md5" mirrors DuckDB
+    (``bit_count(xor(...))`` oracle); "sip" is the vectorized scale
+    default."""
+    assert 0 <= k < bands, "banded search is exact only for k < bands"
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+    bmask = np.uint64((1 << width) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh = _simhash_u64(batch, id_col, text_col, hash_fn)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        vals = np.empty(bands * n, dtype=np.int64)
+        for b in range(bands):
+            vals[b * n:(b + 1) * n] = (
+                (sh >> np.uint64(b * width)) & bmask).astype(np.int64)
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int8), n)),
+            "bval": pa.array(vals),
+            id_col: pa.array(np.tile(ids, bands)),
+            # bit-reinterpreted fingerprint, tiled alongside its id
+            "sim": pa.array(np.tile(sh.astype(np.int64), bands)),
+        })
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = pd.MultiIndex.from_arrays([df["band"], df["bval"]])
+        codes, _ = key.factorize(sort=False)
+        order = np.argsort(codes, kind="stable")
+        ids = df[id_col].to_numpy()[order]
+        sims = df["sim"].to_numpy()[order].astype(np.int64)
+        counts = np.bincount(codes[order])
+        skipped = int(np.count_nonzero(counts > max_band_group))
+        if skipped:
+            import logging
+            logging.getLogger("abslog_ray.dedup").warning(
+                "simhash_pairs: skipped %d band group(s) larger than %d "
+                "(max seen: %d) — pairs inside them are not searched",
+                skipped, max_band_group, int(counts.max()))
+        outs = []
+        start = 0
+        for m in counts:
+            if 1 < m <= max_band_group:
+                seg_ids = ids[start:start + m]
+                seg_sims = sims[start:start + m]
+                o = np.argsort(seg_ids, kind="stable")
+                seg_ids, seg_sims = seg_ids[o], seg_sims[o]
+                ii, jj = np.triu_indices(m, k=1)
+                ham = _popcount64(seg_sims[ii] ^ seg_sims[jj])
+                keep = ham <= k
+                if keep.any():
+                    outs.append(np.stack([seg_ids[ii[keep]],
+                                          seg_ids[jj[keep]],
+                                          ham[keep]], axis=1))
+            start += m
+        if not outs:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        abh = np.unique(np.concatenate(outs), axis=0)
+        return pd.DataFrame({"doc_a": abh[:, 0], "doc_b": abh[:, 1],
+                             "hamming": abh[:, 2]})
+
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.gaps import BUCKET_COL, add_bucket_fn
+
+    ex = ds.map_batches(explode, batch_format="pyarrow")
+    ex = ex.map_batches(add_bucket_fn("bval", n_buckets),
+                        batch_format="pyarrow")
+    cand = ex.groupby(BUCKET_COL).map_groups(
+        lambda df: pairs_in_bucket(df.drop(columns=[BUCKET_COL])),
+        batch_format="pandas")
+    # a pair found in several bands carries the same hamming — min-merge
+    return hash_aggregate(cand, ["doc_a", "doc_b"],
+                          {"hamming": ("hamming", "min")})

@@ -129,6 +129,47 @@ def test_simhash_close_for_near_dups(docs_with_dupes):
     assert ham < rand or rand > 12
 
 
+def test_simhash_pairs_exact_vs_bruteforce(docs_with_dupes):
+    """Banded Hamming pair search is EXACT for k < bands (pigeonhole):
+    engine pairs == brute-force popcount filter, and the planted exact
+    dup surfaces at hamming 0."""
+    from abslog_ray.stages.dedup import _simhash_u64, simhash_pairs
+    df = docs_with_dupes
+    ds = ray.data.from_pandas(df).repartition(4)
+    k = 6
+    got = simhash_pairs(ds, k=k, bands=8, hash_fn="sip",
+                        n_buckets=4).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+    sh = _simhash_u64(pa.Table.from_pandas(df, preserve_index=False),
+                      "doc_id", "text", "sip")
+    n = len(sh)
+    x = sh[:, None] ^ sh[None, :]
+    ham = np.unpackbits(x.view(np.uint8).reshape(n * n, 8),
+                        axis=1).sum(1).reshape(n, n).astype(np.int64)
+    iu, ju = np.triu_indices(n, 1)
+    keep = ham[iu, ju] <= k
+    ids = df["doc_id"].to_numpy()
+    want = pd.DataFrame({"doc_a": ids[iu[keep]], "doc_b": ids[ju[keep]],
+                         "hamming": ham[iu, ju][keep]}).sort_values(
+        ["doc_a", "doc_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), want.astype(np.int64))
+    exact_dup = got[(got["doc_a"] == 0) & (got["doc_b"] == 50)]
+    assert len(exact_dup) == 1 and exact_dup["hamming"].iloc[0] == 0
+
+
+def test_simhash_pairs_mega_band_guard():
+    """Degenerate band values (e.g. all-empty docs -> fingerprint 0) are
+    skipped with a WARN instead of exploding quadratically."""
+    from abslog_ray.stages.dedup import simhash_pairs
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "text": [""] * 50})
+    got = simhash_pairs(ray.data.from_pandas(df), k=3, bands=4,
+                        max_band_group=10).to_pandas()
+    assert len(got) == 0
+
+
 def test_token_stats_and_quality():
     t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
                   "text": pa.array(["the cat the cat", "", "a b. c!"])})
