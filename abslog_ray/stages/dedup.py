@@ -116,9 +116,9 @@ def shingles(ds, n: int = 3, id_col="doc_id", text_col="text"):
         batch_format="pyarrow")
 
 
-def jaccard_pairs(ds, n: int = 3, tau: float = 0.5, id_col="doc_id",
+def jaccard_pairs(ds=None, n: int = 3, tau: float = 0.5, id_col="doc_id",
                   text_col="text", shingle_buckets: int = 32,
-                  max_shingle_df: int = 1000):
+                  max_shingle_df: int = 1000, shingle_ds=None):
     """EXACT n-gram Jaccard similar pairs (doc_a < doc_b, jac >= tau).
 
     shingle explode → bucket-hash shingles → per-bucket pair counting
@@ -134,12 +134,17 @@ def jaccard_pairs(ds, n: int = 3, tau: float = 0.5, id_col="doc_id",
     The default (1000) is far above the max df observed on the driver
     tables (7 at sf0.01, 25 at sf0.1), so oracle equality is unaffected;
     pass ``None`` to disable the cap entirely.
+
+    ``shingle_ds``: optionally reuse an already-exploded (id, shingle)
+    Dataset (distinct per doc) instead of re-tokenizing ``ds`` — the
+    MinHash verify path feeds its one materialized shingle pass here.
     """
     import ray
     from abslog_ray.stages.aggregate import hash_aggregate
     from abslog_ray.stages.gaps import add_bucket_fn
 
-    sh = shingles(ds, n, id_col, text_col).materialize()
+    sh = (shingle_ds if shingle_ds is not None
+          else shingles(ds, n, id_col, text_col)).materialize()
 
     # per-doc distinct shingle counts (small table → broadcast)
     sizes = hash_aggregate(sh, [id_col],
@@ -227,41 +232,106 @@ def make_minhash_params(num_perm: int = 64, seed: int = 1337):
     return a, b
 
 
+def _sig_matrix(ids: np.ndarray, shingle_strs: np.ndarray, a, b):
+    """(uniq_ids, signature matrix (G, num_perm)) from exploded
+    (doc_id, shingle) rows: h_i(x) = (a_i*x + b_i) mod p with per-perm
+    segmented min (reduceat, C)."""
+    h = _stable_hash64(shingle_strs)
+    h = (h % MERSENNE).astype(np.int64)
+    codes, uniq_ids = pd.factorize(pd.Series(ids), sort=False)
+    G = len(uniq_ids)
+    sig = np.empty((G, len(a)), dtype=np.int64)
+    if G == 0:
+        return uniq_ids, sig
+    order = np.argsort(codes, kind="stable")
+    h_ord = h[order]
+    counts = np.bincount(codes, minlength=G)
+    starts = np.zeros(G, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    for i in range(len(a)):
+        hx = ((a[i] * h_ord) % MERSENNE + b[i]) % MERSENNE
+        sig[:, i] = np.minimum.reduceat(hx, starts)
+    return uniq_ids, sig
+
+
+def _sig_table(uniq_ids, sig: np.ndarray, id_col: str) -> pa.Table:
+    G, P = sig.shape
+    # ListArray offsets are int32 — fail loudly before silent wrap
+    assert G * P < (1 << 31), \
+        f"minhash signature offsets overflow int32: {G} docs x " \
+        f"{P} perms in one batch; reduce batch size"
+    offs = np.arange(G + 1, dtype=np.int64) * P
+    return pa.table({
+        id_col: pa.array(uniq_ids),
+        "sig": pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), pa.int32()),
+            pa.array(sig.reshape(-1))),
+    })
+
+
 def minhash_signatures(ds, n: int = 3, num_perm: int = 64, seed: int = 1337,
                        id_col="doc_id", text_col="text"):
-    """One row per doc: signature list<int64> of length num_perm."""
+    """One row per doc: signature list<int64> of length num_perm
+    (shingles computed in-batch from the raw docs — each doc is one row,
+    so its shingle set is always complete within the batch)."""
     a, b = make_minhash_params(num_perm, seed)
 
     def fn(batch: pa.Table) -> pa.Table:
         sh = shingle_batch(batch, n, id_col, text_col)
-        ids = sh[id_col].to_numpy(zero_copy_only=False)
-        h = _stable_hash64(sh["shingle"].to_numpy(zero_copy_only=False))
-        h = (h % MERSENNE).astype(np.int64)
-        codes, uniq_ids = pd.factorize(pd.Series(ids), sort=False)
-        G = len(uniq_ids)
-        sig = np.empty((G, len(a)), dtype=np.int64)
-        order = np.argsort(codes, kind="stable")
-        h_ord = h[order]
-        counts = np.bincount(codes, minlength=G)
-        starts = np.zeros(G, dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        # h_i(x) = (a_i*x + b_i) mod p; per-perm segmented min (reduceat, C)
-        for i in range(len(a)):
-            hx = ((a[i] * h_ord) % MERSENNE + b[i]) % MERSENNE
-            sig[:, i] = np.minimum.reduceat(hx, starts)
-        # ListArray offsets are int32 — fail loudly before silent wrap
-        assert G * len(a) < (1 << 31), \
-            f"minhash signature offsets overflow int32: {G} docs x " \
-            f"{len(a)} perms in one batch; reduce batch size"
-        offs = np.arange(G + 1, dtype=np.int64) * len(a)
-        return pa.table({
-            id_col: pa.array(uniq_ids),
-            "sig": pa.ListArray.from_arrays(
-                pa.array(offs.astype(np.int32), pa.int32()),
-                pa.array(sig.reshape(-1))),
-        })
+        uniq_ids, sig = _sig_matrix(
+            sh[id_col].to_numpy(zero_copy_only=False),
+            sh["shingle"].to_numpy(zero_copy_only=False), a, b)
+        return _sig_table(uniq_ids, sig, id_col)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def minhash_signatures_from_shingles(sh_ds, num_perm: int = 64,
+                                     seed: int = 1337, id_col="doc_id",
+                                     n_buckets: int = 16):
+    """Signatures from an already-exploded (doc_id, shingle) Dataset —
+    lets one materialized shingle pass feed both LSH and the exact-Jaccard
+    verify (VERDICT r02 "Next #3").  A doc's shingles may be SPLIT across
+    blocks here, so the computation is two-phase like everything else:
+    per-block partial signatures (elementwise per-perm min over whatever
+    shingles the block holds) then a doc-bucketed elementwise-min merge.
+    The shuffle moves one 64-int row per (doc, block-containing-it) —
+    ~num_perm·8 bytes per doc, not the shingle table."""
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+
+    a, b = make_minhash_params(num_perm, seed)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uniq_ids, sig = _sig_matrix(
+            batch[id_col].to_numpy(zero_copy_only=False),
+            batch["shingle"].to_numpy(zero_copy_only=False), a, b)
+        return _sig_table(uniq_ids, sig, id_col)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if KEY_BUCKET in t.column_names:
+            t = t.drop_columns([KEY_BUCKET])
+        ids = t[id_col].to_pandas()
+        codes, uniq = pd.factorize(ids, sort=False)
+        col = t["sig"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sig = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            t.num_rows, num_perm)
+        G = len(uniq)
+        if G == 0:
+            return _sig_table(uniq.to_numpy(),
+                              np.empty((0, num_perm), np.int64), id_col)
+        order = np.argsort(codes, kind="stable")
+        starts = np.zeros(G, dtype=np.int64)
+        np.cumsum(np.bincount(codes, minlength=G)[:-1], out=starts[1:])
+        merged = np.minimum.reduceat(sig[order], starts, axis=0)
+        return _sig_table(uniq.to_numpy(), merged, id_col)
+
+    parts = sh_ds.map_batches(partial, batch_format="pyarrow")
+    parts = parts.map_batches(add_key_bucket_fn(n_buckets, keys=[id_col]),
+                              batch_format="pyarrow")
+    return parts.groupby(KEY_BUCKET).map_groups(merge,
+                                                batch_format="pyarrow")
 
 
 def lsh_candidates(sig_ds, num_perm: int = 64, bands: int = 16,
@@ -336,13 +406,19 @@ def minhash_lsh_dupes(ds, n: int = 3, tau: float = 0.5, num_perm: int = 64,
     filter the shingle explode, exact Jaccard runs through the same
     bucketed ``jaccard_pairs`` machinery, and the result is restricted to
     LSH-candidate pairs with a partitioned ``bucket_join`` — no driver-side
-    shingle dict, no per-pair Python loop."""
+    shingle dict, no per-pair Python loop.
+
+    Tokenization happens ONCE (VERDICT r02 "Next #3"): the shingle
+    explode is materialized and feeds both the signature pass (two-phase
+    partial-min merge, ``minhash_signatures_from_shingles``) and the
+    candidate-filtered exact-Jaccard verify."""
     import ray
 
     from abslog_ray.stages.join import bucket_join
 
-    sigs = minhash_signatures(ds, n, num_perm, id_col=id_col,
-                              text_col=text_col)
+    sh_all = shingles(ds, n, id_col, text_col).materialize()
+    sigs = minhash_signatures_from_shingles(sh_all, num_perm,
+                                            id_col=id_col)
     cand = lsh_candidates(sigs, num_perm, bands, id_col).materialize()
     if cand.count() == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -361,9 +437,9 @@ def minhash_lsh_dupes(ds, n: int = 3, tau: float = 0.5, num_perm: int = 64,
         return batch.filter(pa.array(keep))
 
     exact = jaccard_pairs(
-        ds.map_batches(filter_docs, batch_format="pyarrow"),
         n=n, tau=tau, id_col=id_col, text_col=text_col,
-        max_shingle_df=max_shingle_df)
+        max_shingle_df=max_shingle_df,
+        shingle_ds=sh_all.map_batches(filter_docs, batch_format="pyarrow"))
     # keep exactly the LSH-candidate pairs (LSH recall semantics preserved:
     # an above-tau pair LSH missed must not appear in the output)
     return bucket_join(exact, cand, on=["doc_a", "doc_b"], how="inner",
