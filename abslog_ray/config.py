@@ -107,6 +107,15 @@ class PipelineConfig:
     # a callable CLASS (stateful actor-pool stage, like Enricher).
     extra_stages: tuple = ()
 
+    # --- optional in-pipeline exact dedup (training-data collector) ---
+    # Route rows through a text-fingerprint dedup BEFORE parse: per
+    # distinct text keep the first row by (conv_id, turn_idx), and drop
+    # rows whose text appeared in ANY previously committed chunk (the
+    # cross-chunk seen-set is the fp64 column of the routed sink itself —
+    # durable, resume-safe, no in-memory state).  Costs one extra keyed
+    # shuffle of the raw rows per chunk.
+    dedup_turns: bool = False
+
     # conversations are assumed bounded (FIXTURES.md clips at 1000 turns);
     # a conversation longer than this raises in the gap stage rather than
     # silently blowing a bucket's memory (SURVEY.md §4.2 giant-conv guard).

@@ -93,6 +93,20 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def add_fp64_column(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "fp64") -> pa.Table:
+    """Append a vectorized 64-bit SipHash fingerprint of ``text_col``
+    (same hash as fingerprint_fast_batch, kept as a COLUMN so it can ride
+    a pipeline into its sinks — the EP1 dedup stage's seen-set is the
+    routed sink's fp64 column)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    h = pd.util.hash_array(
+        text.to_numpy(zero_copy_only=False).astype(object, copy=False))
+    return batch.append_column(out_col, pa.array(h.astype(np.int64)))
+
+
 def fingerprint_fast_batch(batch: pa.Table) -> pa.Table:
     """doc_id, fp64 = SipHash-1-3 of the text (pd.util.hash_array — one
     vectorized pass, no per-row Python).  The 64-bit scale-path variant of

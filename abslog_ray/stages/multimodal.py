@@ -6,11 +6,13 @@ Decode support is split by what the environment can honestly do:
 
 - REAL decoders (stdlib + numpy only, no codec libraries needed):
   **PPM (P6)** images — full header parse, pixel decode to (h, w, 3)
-  uint8, nearest-neighbor resize + re-encode (``ImageResizer``); and
+  uint8, nearest-neighbor resize + re-encode (``ImageResizer``);
+  **PNG** (non-interlaced 8-bit, incl. palette) — stdlib zlib inflate +
+  per-scanline unfilter in numpy, plus a matching encoder; and
   **WAV** audio — stdlib ``wave`` + ``np.frombuffer`` sample decode with
   RMS / peak / zero-crossing features.
 - STUBBED kernels for formats that genuinely need codec libraries
-  (JPEG/PNG/MP4...): clearly marked ``NotImplementedError`` unless the
+  (JPEG/MP4...): clearly marked ``NotImplementedError`` unless the
   deterministic fake decoder is enabled.
 
 All the Ray-side plumbing — schema handling, binary-column batching, actor
@@ -104,6 +106,148 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_NCH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG -> (h, w, channels) uint8 using ONLY
+    stdlib zlib + numpy (no codec library): chunk walk, inflate, then
+    per-scanline unfilter (None/Up/Sub vectorized; Average/Paeth walk the
+    row, which is inherently sequential in the spec).  Palette (PLTE)
+    images expand to RGB.  Raises ValueError on interlaced or non-8-bit
+    input — the honest remaining stub surface is JPEG/MP4 only."""
+    import zlib
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    nch = _PNG_NCH[ctype]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        cur = rows[y].astype(np.int64)
+        ft = int(ftypes[y])
+        if ft == 0:                                   # None
+            rec = cur
+        elif ft == 1:                                 # Sub: per-channel cumsum
+            rec = cur.reshape(w, nch).cumsum(axis=0).reshape(stride)
+        elif ft == 2:                                 # Up
+            rec = cur + prev
+        elif ft == 3:                                 # Average (sequential)
+            rec = np.zeros(stride, np.int64)
+            for i in range(stride):
+                left = rec[i - nch] if i >= nch else 0
+                rec[i] = (cur[i] + ((left + prev[i]) >> 1)) & 255
+        elif ft == 4:                                 # Paeth (sequential)
+            rec = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0
+                c = int(prev[i - nch]) if i >= nch else 0
+                rec[i] = (cur[i] + _paeth_predict(a, int(prev[i]), c)) & 255
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = (rec % 256).astype(np.uint8)
+        prev = out[y].astype(np.int64)
+    img = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+    return (len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+
+def encode_png(img: np.ndarray, filters=None) -> bytes:
+    """(h, w, channels) uint8 -> non-interlaced 8-bit PNG.  ``filters``
+    optionally forces the per-row filter type (cycled), letting tests
+    exercise every unfilter path; default Up for rows past the first."""
+    import zlib
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    flat = img.reshape(h, w * nch).astype(np.int64)
+    lines = []
+    for y in range(h):
+        ft = (filters[y % len(filters)] if filters
+              else (2 if y else 1))
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(nch, np.int64), cur[:-nch]])
+        pleft = np.concatenate([np.zeros(nch, np.int64), prev[:-nch]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - pleft
+            pred = np.where(
+                (np.abs(p - left) <= np.abs(p - prev))
+                & (np.abs(p - left) <= np.abs(p - pleft)), left,
+                np.where(np.abs(p - prev) <= np.abs(p - pleft),
+                         prev, pleft))
+            enc = cur - pred
+        lines.append(bytes([ft]) + (enc % 256).astype(np.uint8).tobytes())
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype, 0, 0, 0]))
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def synth_png(w: int, h: int, seed: int = 0, nch: int = 3,
+              filters=None) -> bytes:
+    rng = np.random.default_rng(seed)
+    return encode_png(rng.integers(0, 256, (h, w, nch), dtype=np.uint8),
+                      filters=filters)
+
+
 def decode_wav(payload: bytes) -> tuple:
     """WAV bytes -> (samples float64 in [-1, 1] (n, channels), framerate).
     Stdlib ``wave`` handles the RIFF container; 8/16/32-bit PCM."""
@@ -130,13 +274,15 @@ _WAV_MAGIC = (b"RIFF", b"WAVE")
 def _sniff(payload: bytes) -> str:
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:8] == PNG_MAGIC:
+        return "png"
     if payload[:4] == _WAV_MAGIC[0] and payload[8:12] == _WAV_MAGIC[1]:
         return "wav"
     return "unknown"
 
 
 class MediaDecoder:
-    """Actor-pool decode stage.  PPM and WAV payloads decode for REAL
+    """Actor-pool decode stage.  PPM, PNG and WAV payloads decode for REAL
     (stdlib + numpy); other formats need codec libraries absent from this
     environment — ``fake=True`` substitutes a deterministic sha256 stand-in
     for them, ``fake=False`` raises (STUB, see module docstring).
@@ -161,12 +307,17 @@ class MediaDecoder:
 
     def _decode_one(self, payload: bytes, kind: str) -> np.ndarray:
         fmt = _sniff(payload)
-        if fmt == "ppm":
-            img = decode_ppm(payload)
-            flat = img.reshape(-1, 3).astype(np.float64)
-            return self._pad([1, img.shape[0], img.shape[1], 3,
-                              *(flat.mean(axis=0) / 255.0),
-                              *(flat.std(axis=0) / 255.0)])
+        if fmt in ("ppm", "png"):
+            img = (decode_ppm(payload) if fmt == "ppm"
+                   else decode_png(payload))
+            c = img.shape[2]
+            flat = img.reshape(-1, c).astype(np.float64)
+            mean3 = np.zeros(3)
+            std3 = np.zeros(3)
+            mean3[:min(c, 3)] = (flat.mean(axis=0) / 255.0)[:3]
+            std3[:min(c, 3)] = (flat.std(axis=0) / 255.0)[:3]
+            return self._pad([1, img.shape[0], img.shape[1], c,
+                              *mean3, *std3])
         if fmt == "wav":
             s, rate = decode_wav(payload)
             mono = s.mean(axis=1)
@@ -178,7 +329,7 @@ class MediaDecoder:
                               float(np.abs(mono).max(initial=0.0)), zcr])
         if not self.fake:
             raise NotImplementedError(
-                "payload is neither PPM nor WAV, and no codec libraries "
+                "payload is none of PPM/PNG/WAV, and no codec libraries "
                 "(PIL/ffmpeg) exist in this environment; construct "
                 "MediaDecoder(fake=True) for the deterministic stand-in")
         h = hashlib.sha256(payload).digest()
@@ -202,7 +353,7 @@ class MediaDecoder:
 
 
 class ImageResizer:
-    """Actor-pool resize stage for PPM image rows: decode → nearest-
+    """Actor-pool resize stage for PPM/PNG image rows: decode → nearest-
     neighbor resize → re-encode, payload replaced in place (binary stays
     Arrow end-to-end).  Non-PPM rows pass through untouched."""
 
@@ -213,9 +364,13 @@ class ImageResizer:
         payloads = batch["payload"].to_pylist()
         out = []
         for p in payloads:
-            if _sniff(p) == "ppm":
+            fmt = _sniff(p)
+            if fmt == "ppm":
                 out.append(encode_ppm(resize_nearest(
                     decode_ppm(p), self.out_h, self.out_w)))
+            elif fmt == "png":
+                out.append(encode_png(resize_nearest(
+                    decode_png(p), self.out_h, self.out_w)))
             else:
                 out.append(p)
         i = batch.schema.get_field_index("payload")

@@ -35,8 +35,8 @@ BENCH_QUERIES = [
     "flagship_summary", "parse_fields", "gaps", "top_patterns",
     "pattern_detail", "minute_totals", "exact_dedup", "token_stats",
     "jaccard_pairs", "minhash_dupes", "knn", "embedding_dupes",
-    "lsh_ann", "simhash", "langid", "approx_uniq_users",
-    "purchase_attribution",
+    "lsh_ann", "simhash", "simhash_dupes", "langid", "approx_uniq_users",
+    "purchase_attribution", "heavy_tokens", "token_rarity",
 ]
 
 

@@ -123,6 +123,61 @@ def test_resume_equivalence(t1_path, default_cfg, tmp_path):
         assert_frames_equal(a, b, key_cols=None)
 
 
+def test_dedup_turns_pipeline(t1_df, default_cfg, tmp_path):
+    """EP1 optional dedup stage (cfg.dedup_turns): keep-first semantics
+    match a pandas oracle (chunk order, then (conv_id, turn_idx)) across
+    planted intra-chunk and cross-chunk duplicate texts, and a killed run
+    resumed equals a from-scratch run — the cross-chunk seen-set is
+    rebuilt from the routed sink's fp64 column."""
+    half = len(t1_df) // 2
+    a = t1_df.iloc[:half].reset_index(drop=True).copy()
+    b = t1_df.iloc[half:].reset_index(drop=True).copy()
+    # cross-chunk dups: 40 B-rows copy texts from A (chunk 0 must win)
+    b.loc[b.index[:40], "text"] = a["text"].iloc[:40].to_numpy()
+    # intra-chunk dups inside B: rows 50..59 copy rows 60..69
+    b.loc[b.index[50:60], "text"] = b["text"].iloc[60:70].to_numpy()
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(a, preserve_index=False),
+                   f"{d}/a_0.parquet")
+    pq.write_table(pa.Table.from_pandas(b, preserve_index=False),
+                   f"{d}/b_1.parquet")
+
+    cfg = dataclasses.replace(default_cfg, dedup_turns=True,
+                              sink_root=str(tmp_path / "full"),
+                              chunk_files=1)
+    run_pipeline(d, cfg)
+    routed = ray.data.read_parquet(
+        os.path.join(cfg.sink_root, "routed")).to_pandas()
+
+    both = pd.concat([a.assign(_chunk=0), b.assign(_chunk=1)],
+                     ignore_index=True)
+    want = both.sort_values(["_chunk", "conv_id", "turn_idx"],
+                            kind="mergesort").drop_duplicates(
+        "text", keep="first")
+    assert "fp64" in routed.columns      # seen-set column rides the sink
+    got_keys = set(zip(routed["conv_id"], routed["turn_idx"]))
+    want_keys = set(zip(want["conv_id"], want["turn_idx"]))
+    assert got_keys == want_keys
+    assert len(routed) < len(both)       # dedup actually dropped rows
+
+    # crash-after-chunk-0 resume == from-scratch
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    cfg2 = dataclasses.replace(cfg, sink_root=str(tmp_path / "resumed"))
+    run_pipeline(files[:1], cfg2)
+    run_pipeline(files, cfg2)
+    routed2 = ray.data.read_parquet(
+        os.path.join(cfg2.sink_root, "routed")).to_pandas()
+    got2 = set(zip(routed2["conv_id"], routed2["turn_idx"]))
+    assert got2 == want_keys
+    for sink in ("summaries", "minute_totals"):
+        x = ray.data.read_parquet(
+            os.path.join(cfg.sink_root, sink)).to_pandas()
+        y = ray.data.read_parquet(
+            os.path.join(cfg2.sink_root, sink)).to_pandas()
+        assert_frames_equal(x, y, key_cols=None)
+
+
 def test_resume_append_rechunk(t1_path, default_cfg, tmp_path):
     """Files appended after a committed run can land inside an existing
     chunk's positional slice; the membership-changed chunk must be REDONE,

@@ -116,3 +116,65 @@ def test_mixed_real_decode_through_ray():
     out = out.sort_values("item_id", ignore_index=True)
     out_feat = [f[0] for f in out["features"]]
     assert out_feat == [1.0, 2.0, 1.0, 2.0]
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png/decode_png round-trip exact pixels through every filter
+    type (None/Sub/Up/Average/Paeth) and every 8-bit color layout."""
+    from abslog_ray.stages.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(11)
+    for nch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 9, nch), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = decode_png(encode_png(img, filters=filters))
+            assert np.array_equal(got, img), (nch, filters)
+
+
+def test_png_palette_and_guards():
+    from abslog_ray.stages.multimodal import (
+        PNG_MAGIC, _png_chunk, decode_png)
+    import zlib
+    # hand-build a 2x2 palette image (color type 3)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx_rows = b"\x00\x00\x01" + b"\x00\x02\x00"     # filter 0 rows
+    ihdr = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 0]))
+    payload = (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"PLTE", plte)
+               + _png_chunk(b"IDAT", zlib.compress(idx_rows))
+               + _png_chunk(b"IEND", b""))
+    img = decode_png(payload)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    assert img[1, 0].tolist() == [0, 0, 255]
+    with pytest.raises(ValueError):
+        decode_png(b"nope")
+
+
+def test_png_decode_resize_through_ray():
+    """PNG rows decode for REAL through the actor-pool stage and resize
+    in place like PPM (the r02 stub surface shrinks to JPEG/MP4)."""
+    from abslog_ray.stages.multimodal import (
+        decode_png, resize_images, resize_nearest, synth_png)
+    pngs = [synth_png(12, 10, seed=i, filters=[0, 1, 2, 3, 4])
+            for i in range(4)]
+    t = pa.table({
+        "item_id": pa.array(np.arange(4, dtype=np.int64)),
+        "kind": pa.array(["image"] * 4),
+        "payload": pa.array(pngs, pa.binary()),
+        "meta": pa.array(["{}"] * 4),
+    })
+    feats = decode_media(ray.data.from_arrow(t), fake=False,
+                         concurrency=(1, 2), batch_size=2).to_pandas()
+    feats = feats.sort_values("item_id", ignore_index=True)
+    for i, f in enumerate(feats["features"]):
+        img = decode_png(pngs[i])
+        assert f[0] == 1.0 and f[1] == img.shape[0] and f[2] == img.shape[1]
+        assert abs(f[4] - img[:, :, 0].astype(float).mean() / 255.0) < 1e-6
+    out = resize_images(ray.data.from_arrow(t), 6, 6,
+                        concurrency=(1, 2), batch_size=2).to_pandas()
+    out = out.sort_values("item_id", ignore_index=True)
+    for i, p in enumerate(out["payload"]):
+        got = decode_png(p)
+        assert np.array_equal(got, resize_nearest(decode_png(pngs[i]), 6, 6))
