@@ -300,6 +300,9 @@ def distribution(ds_summary, unit="hour"):
 
     from ray.data.aggregate import Sum
     ds = ds_summary.map_batches(fn, batch_format="pyarrow")
+    # native groupby().aggregate() is deliberate here: the key space is
+    # time buckets (≤ O(10^4) for years of minutes), far below the ~10^6-key
+    # regime where the engine's two-phase hash_aggregate wins (BASELINE.md)
     out = ds.groupby("bucket").aggregate(
         Sum("hits", alias_name="hits"),
         Sum("err_hits", alias_name="err_hits"),
