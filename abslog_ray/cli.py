@@ -2,7 +2,7 @@
 ``request`` / ``distribution`` / ``detail`` and the cron-invoked
 log_analyse.py collector).
 
-    python -m abslog_ray.cli run --input DIR --sink DIR [--checkpoint DIR]
+    python -m abslog_ray.cli run --input DIR --sink DIR [--checkpoint DIR] [--dedup]
     python -m abslog_ray.cli request --sink DIR [-l N] [-f ISO] [-t ISO] [-s ROLE]
     python -m abslog_ray.cli detail --sink DIR --pattern P [-l N]
     python -m abslog_ray.cli distribution --sink DIR [--unit hour]
@@ -37,6 +37,9 @@ def main(argv=None):
     runp.add_argument("--sink", required=True)
     runp.add_argument("--checkpoint")
     runp.add_argument("--chunk-files", type=int, default=64)
+    runp.add_argument("--dedup", action="store_true",
+                      help="drop duplicate turn texts (keep first; "
+                           "cross-chunk via the routed sink's fp64 column)")
 
     qp = sub.add_parser("query", help="run any registry query by name")
     qp.add_argument("--name")
@@ -96,7 +99,8 @@ def main(argv=None):
                              role_lookup=dict(ROLE_SINKS),
                              sink_root=args.sink,
                              checkpoint_dir=args.checkpoint,
-                             chunk_files=args.chunk_files)
+                             chunk_files=args.chunk_files,
+                             dedup_turns=args.dedup)
         metrics = run_pipeline(args.input, cfg)
         print(json.dumps(metrics, indent=1, default=str))
         return 0

@@ -197,9 +197,16 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
                 from abslog_ray.functions.text import add_fp64_column
                 from abslog_ray.stages.dedup import keep_first_unseen
                 ds = ds.map_batches(add_fp64_column, batch_format="pyarrow")
-                prev = [os.path.join(cfg.sink_root, "routed",
-                                     f"chunk={j:06d}") for j in range(ci)]
-                prev = [d for d in prev if os.path.isdir(d)]
+                # expand to FILE paths: pyarrow accepts a multi-element
+                # path list only when every entry is a file (a 2+-dir
+                # list raises "is a directory")
+                import glob as _glob
+                prev = []
+                for j in range(ci):
+                    d = os.path.join(cfg.sink_root, "routed",
+                                     f"chunk={j:06d}")
+                    prev += sorted(_glob.glob(
+                        os.path.join(d, "**", "*.parquet"), recursive=True))
                 seen = (ray.data.read_parquet(prev, columns=["fp64"])
                         if prev else None)
                 ds = keep_first_unseen(ds, seen_ds=seen,

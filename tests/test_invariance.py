@@ -129,19 +129,26 @@ def test_dedup_turns_pipeline(t1_df, default_cfg, tmp_path):
     planted intra-chunk and cross-chunk duplicate texts, and a killed run
     resumed equals a from-scratch run — the cross-chunk seen-set is
     rebuilt from the routed sink's fp64 column."""
-    half = len(t1_df) // 2
-    a = t1_df.iloc[:half].reset_index(drop=True).copy()
-    b = t1_df.iloc[half:].reset_index(drop=True).copy()
+    third = len(t1_df) // 3
+    a = t1_df.iloc[:third].reset_index(drop=True).copy()
+    b = t1_df.iloc[third:2 * third].reset_index(drop=True).copy()
+    c = t1_df.iloc[2 * third:].reset_index(drop=True).copy()
     # cross-chunk dups: 40 B-rows copy texts from A (chunk 0 must win)
     b.loc[b.index[:40], "text"] = a["text"].iloc[:40].to_numpy()
     # intra-chunk dups inside B: rows 50..59 copy rows 60..69
     b.loc[b.index[50:60], "text"] = b["text"].iloc[60:70].to_numpy()
+    # chunk 2 copies from BOTH earlier chunks — the seen-set read must
+    # span multiple routed chunk dirs (regression: a 2+-dir path list)
+    c.loc[c.index[:10], "text"] = a["text"].iloc[60:70].to_numpy()
+    c.loc[c.index[10:20], "text"] = b["text"].iloc[80:90].to_numpy()
     d = str(tmp_path / "in")
     os.makedirs(d)
     pq.write_table(pa.Table.from_pandas(a, preserve_index=False),
                    f"{d}/a_0.parquet")
     pq.write_table(pa.Table.from_pandas(b, preserve_index=False),
                    f"{d}/b_1.parquet")
+    pq.write_table(pa.Table.from_pandas(c, preserve_index=False),
+                   f"{d}/c_2.parquet")
 
     cfg = dataclasses.replace(default_cfg, dedup_turns=True,
                               sink_root=str(tmp_path / "full"),
@@ -150,8 +157,8 @@ def test_dedup_turns_pipeline(t1_df, default_cfg, tmp_path):
     routed = ray.data.read_parquet(
         os.path.join(cfg.sink_root, "routed")).to_pandas()
 
-    both = pd.concat([a.assign(_chunk=0), b.assign(_chunk=1)],
-                     ignore_index=True)
+    both = pd.concat([a.assign(_chunk=0), b.assign(_chunk=1),
+                      c.assign(_chunk=2)], ignore_index=True)
     want = both.sort_values(["_chunk", "conv_id", "turn_idx"],
                             kind="mergesort").drop_duplicates(
         "text", keep="first")
