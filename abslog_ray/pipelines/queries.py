@@ -1303,6 +1303,57 @@ from r where rank <= {k}"""
 SQL_LSH_ANN = _lsh_ann_sql()
 
 
+def q_lsh_near_dup(sf_dir: str):
+    """Label-free embedding near-dup (no IVF label needed): LCG-seeded
+    hyperplane buckets + exact within-bucket cosine (tau=0.3, like
+    embedding_dupes — the driver embeddings are near-random).  The
+    bucketing is reproduced bit-for-bit in the oracle SQL, so equality
+    is exact even though cross-bucket recall is approximate by design."""
+    from abslog_ray.stages.similarity import lsh_near_dup
+    ds = lsh_near_dup(_emb(sf_dir), tau=0.3, n_planes=8)
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_a": pc.cast(t["vec_a"], pa.int64()),
+            "vec_b": pc.cast(t["vec_b"], pa.int64()),
+            "sim": pc.cast(t["sim"], pa.float64()),
+        })
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def _lsh_near_dup_sql(n_planes: int = 8, seed: int = 7, dim: int = 64,
+                      tau: float = 0.3) -> str:
+    from abslog_ray.stages.similarity import _LCG_A, _LCG_C, _LCG_M
+    w = (f"cast(({_LCG_A} * (({_LCG_A} * (d*{n_planes} + p + {seed}) "
+         f"+ {_LCG_C}) % {_LCG_M}) + {_LCG_C}) % {_LCG_M} as double) "
+         f"/ {_LCG_M}.0 - 0.5")
+    return f"""
+with pl as (
+  select d, p, {w} as w
+  from (select unnest(generate_series(0, {dim - 1})) as d) dd,
+       (select unnest(generate_series(0, {n_planes - 1})) as p) pp),
+e as (select vec_id,
+        list_transform(embedding, x -> cast(x as double)) as emb
+      from embeddings),
+dots as (
+  select e.vec_id, pl.p, sum(e.emb[pl.d + 1] * pl.w) as dot
+  from e, pl group by e.vec_id, pl.p),
+bk as (
+  select vec_id,
+    cast(sum(case when dot > 0 then 1::bigint << p else 0 end) as bigint)
+      as bucket
+  from dots group by vec_id),
+v as (select b.vec_id, b.bucket, e.emb from bk b join e using (vec_id))
+select a.vec_id as vec_a, b.vec_id as vec_b,
+  round(list_cosine_similarity(a.emb, b.emb), 6) as sim
+from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
+where round(list_cosine_similarity(a.emb, b.emb), 6) >= {tau}"""
+
+
+SQL_LSH_NEAR_DUP = _lsh_near_dup_sql()
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -1355,4 +1406,5 @@ QUERIES = {
     "knn": (q_knn, SQL_KNN),
     "embedding_dupes": (q_embedding_dupes, SQL_EMBEDDING_DUPES),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
+    "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
 }

@@ -232,6 +232,67 @@ def _probe_masks(n_planes: int, radius: int) -> np.ndarray:
     return np.array(masks, dtype=np.int64)
 
 
+def lsh_near_dup(ds, tau: float = 0.3, n_planes: int = 8, seed: int = 7,
+                 id_col="vec_id", col="embedding", dim: int = 64,
+                 tile_rows: int = 1024, max_bucket_rows: int = 100_000):
+    """LABEL-FREE embedding near-dup pairs at scale: seeded
+    random-hyperplane LSH buckets the vectors (the coarse partition
+    ``blocked_near_dup`` gets from an IVF label, derived here from the
+    data itself), then exact pairwise cosine WITHIN each bucket emits
+    (vec_a < vec_b, sim ≥ tau).  Approximate recall by construction — a
+    qualifying pair split by a hyperplane is missed (lower ``n_planes``
+    or add probe replication like ``lsh_ann`` to trade work for recall);
+    precision is exact.  One keyed shuffle, no all-pairs work; the same
+    tile loop as ``blocked_near_dup`` bounds per-bucket compute memory,
+    and a bucket over ``max_bucket_rows`` fails loud.  The LCG planes are
+    reproducible in ANSI SQL, so the DuckDB oracle mirrors the bucketing
+    bit-for-bit (same device as ``lsh_ann``)."""
+    import ray
+
+    planes_ref = ray.put(lcg_planes(dim, n_planes, seed))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        M = _stack_embeddings(batch, col)
+        signs = (M @ P) > 0
+        code = np.zeros(len(M), dtype=np.int64)
+        for b in range(n_planes):
+            code |= signs[:, b].astype(np.int64) << b
+        return batch.append_column("bucket", pa.array(code))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > max_bucket_rows:
+            raise RuntimeError(
+                f"lsh_near_dup: bucket has {len(df)} rows > "
+                f"max_bucket_rows={max_bucket_rows}; raise n_planes or "
+                f"max_bucket_rows")
+        ids = df[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = _normalize(np.stack(df[col].to_numpy()[order]).astype(np.float64))
+        b = len(ids)
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, b, tile_rows):
+            i1 = min(i0 + tile_rows, b)
+            sims = np.round(M[i0:i1] @ M.T, 6)
+            ii_loc, jj = np.nonzero(sims >= tau)
+            ii = ii_loc + i0
+            keep = jj > ii
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_s.append(sims[ii_loc[keep], jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        bc = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        s = np.concatenate(out_s) if out_s else np.array([], np.float64)
+        return pd.DataFrame({"vec_a": a.astype(np.int64),
+                             "vec_b": bc.astype(np.int64), "sim": s})
+
+    bds = ds.map_batches(bucketize, batch_format="pyarrow")
+    return bds.groupby("bucket").map_groups(
+        lambda df: pairs(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+
+
 def lsh_ann(ds, query_ids, k: int = 10, n_planes: int = 8, seed: int = 7,
             id_col="vec_id", col="embedding", dim: int = 64,
             probe_radius: int = 1):

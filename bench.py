@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "flagship_summary", "parse_fields", "gaps", "top_patterns",
     "pattern_detail", "minute_totals", "exact_dedup", "token_stats",
     "jaccard_pairs", "minhash_dupes", "knn", "embedding_dupes",
-    "lsh_ann", "simhash", "simhash_dupes", "langid", "approx_uniq_users",
+    "lsh_ann", "lsh_near_dup", "simhash", "simhash_dupes", "langid", "approx_uniq_users",
     "purchase_attribution", "heavy_tokens", "token_rarity",
 ]
 

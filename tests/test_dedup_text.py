@@ -348,6 +348,33 @@ def test_blocked_near_dup_tiling_equivalence():
     assert len(tiled) >= 10
 
 
+def test_lsh_near_dup_planted_and_guard():
+    """Label-free LSH near-dup: identical/near-identical vectors always
+    share a bucket, so planted dups surface with sim ~1.0; precision is
+    exact (every emitted pair verifies against brute-force cosine); an
+    over-cap bucket fails loud."""
+    from abslog_ray.stages.similarity import _normalize, lsh_near_dup
+    rng = np.random.default_rng(47)
+    emb = rng.normal(size=(200, 16))
+    emb[1] = emb[0]                       # exact dup
+    emb[3] = emb[2] * 1.000001            # near dup
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": list(emb)})
+    got = lsh_near_dup(ray.data.from_pandas(df), tau=0.9, n_planes=6,
+                       dim=16).to_pandas()
+    pairs = {(a, b): s for a, b, s in
+             zip(got["vec_a"], got["vec_b"], got["sim"])}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(2, 3)] >= 0.999999
+    M = _normalize(emb)
+    for (a, b), s in pairs.items():       # exact precision
+        assert abs(np.round(M[a] @ M[b], 6) - s) < 1e-9 and s >= 0.9
+    import pytest as _pt
+    with _pt.raises(Exception, match="max_bucket_rows"):
+        lsh_near_dup(ray.data.from_pandas(df), tau=0.9, n_planes=1,
+                     dim=16, max_bucket_rows=50).to_pandas()
+
+
 def test_blocked_near_dup_giant_label_guard():
     """A label block over max_block_rows raises by default (fail loud
     before the shuffle); on_oversize='split' LSH-sub-partitions only the
