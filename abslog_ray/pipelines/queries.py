@@ -1036,6 +1036,30 @@ join sizes sb on sb.doc_id = doc_b
 where i * 1.0 / (sa.n + sb.n - i) >= 0.5"""
 
 
+def q_near_dedup_corpus(sf_dir: str):
+    """NEAR-dup corpus dedup — the end-to-end step a training-data
+    pipeline actually runs: drop every doc that is ≥ tau word-3-gram
+    Jaccard similar to a LOWER-id doc (the standard greedy-by-id rule;
+    deterministic without a transitive-closure pass — a doc is dropped
+    even if its lower-id witness was itself dropped, exactly SQL's
+    ``NOT IN (select doc_b ...)``).  Pairs from the exact jaccard_pairs
+    operator; removal via the distributed ``bucket_anti_join`` — the
+    drop-set is corpus-scale, so no broadcast, one keyed shuffle."""
+    from abslog_ray.stages.dedup import jaccard_pairs
+    from abslog_ray.stages.join import bucket_anti_join
+
+    pairs = jaccard_pairs(_docs(sf_dir), n=3, tau=0.5)
+    drop = pairs.map_batches(
+        lambda t: pa.table({"doc_id": pc.unique(t["doc_b"])}),
+        batch_format="pyarrow")
+    return bucket_anti_join(_docs(sf_dir), drop, on="doc_id", n_buckets=8)
+
+
+SQL_NEAR_DEDUP_CORPUS = f"""
+select doc_id, text from documents
+where doc_id not in (select doc_b from ({SQL_JACCARD_PAIRS}))"""
+
+
 def q_minhash_dupes(sf_dir: str):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (tau=0.5).
 
@@ -1389,6 +1413,7 @@ QUERIES = {
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
+    "near_dedup_corpus": (q_near_dedup_corpus, SQL_NEAR_DEDUP_CORPUS),
     "quality_filtered": (q_quality_filtered, SQL_QUALITY_FILTERED),
     "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),

@@ -193,6 +193,48 @@ def asof_join(left, right, by: str, on: str, how: str = "inner",
     return both.groupby(KEY_BUCKET).map_groups(merge, batch_format="pandas")
 
 
+def bucket_anti_join(left, right, on: str, n_buckets: int = 32):
+    """Distributed ANTI join on one key column: left rows whose key has
+    no match in ``right`` (which only needs the key column).  The scale
+    shape for exclusion sets too large to broadcast through
+    ``semi_join``: tag both sides, align the right side to left's schema
+    with TYPED Arrow nulls, union, key-bucket-hash, and filter each
+    bucket with one vectorized isin — a single all-to-all exchange."""
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+
+    MARK = "__anti_r"
+    sch = left.schema()
+    names, types = list(sch.names), list(sch.types)
+    assert on in names, f"anti-join key {on} missing from left"
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            MARK, pa.array(np.zeros(t.num_rows, dtype=bool)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        col = t[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols = {nm: (col if nm == on else pa.nulls(t.num_rows, ty))
+                for nm, ty in zip(names, types)}
+        cols[MARK] = pa.array(np.ones(t.num_rows, dtype=bool))
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    both = both.map_batches(add_key_bucket_fn(n_buckets, keys=[on]),
+                            batch_format="pyarrow")
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([KEY_BUCKET])
+        is_r = t[MARK].to_numpy(zero_copy_only=False)
+        keys = t[on].to_numpy(zero_copy_only=False)
+        keep = ~is_r & ~np.isin(keys, keys[is_r])
+        return t.drop_columns([MARK]).filter(pa.array(keep))
+
+    return both.groupby(KEY_BUCKET).map_groups(flt, batch_format="pyarrow")
+
+
 def semi_join(ds, keys_df: pd.DataFrame, on: str, anti: bool = False):
     """Broadcast key-set filter (semi/anti join)."""
     import ray

@@ -65,6 +65,26 @@ def test_semi_and_anti_join(orders_customers):
     assert len(semi) + len(anti) == len(orders)
 
 
+def test_bucket_anti_join(orders_customers):
+    """Distributed anti join == pandas isin complement, column TYPES
+    preserved through the null-padded union (the broadcast-free scale
+    path for large exclusion sets)."""
+    from abslog_ray.stages.join import bucket_anti_join
+    orders, cust = orders_customers
+    got = bucket_anti_join(ray.data.from_pandas(orders),
+                           ray.data.from_pandas(cust[["cust"]]),
+                           on="cust", n_buckets=4).to_pandas()
+    want = orders[~orders["cust"].isin(cust["cust"])]
+    assert_frames_equal(got, want, key_cols=None)
+    assert got["price"].dtype == np.int64      # no object upcast
+    # empty right side keeps everything
+    empty = cust[["cust"]].iloc[0:0]
+    got_all = bucket_anti_join(ray.data.from_pandas(orders),
+                               ray.data.from_pandas(empty),
+                               on="cust", n_buckets=4).to_pandas()
+    assert len(got_all) == len(orders)
+
+
 def test_sessionize_matches_pandas(t1_path):
     ds = ray.data.read_parquet(t1_path)
     timeout = 2_000_000  # 2s — fixture gaps are lognormal around 0.5s
