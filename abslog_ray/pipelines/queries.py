@@ -1060,6 +1060,40 @@ select doc_id, text from documents
 where doc_id not in (select doc_b from ({SQL_JACCARD_PAIRS}))"""
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: connected components over the ≥0.5-Jaccard
+    pair graph (BSP min-label propagation on Dataset primitives,
+    stages/graph.py) — every doc labeled with the min doc_id of its
+    component; singletons label themselves.  Oracle: DuckDB recursive
+    CTE computing full reachability and taking min(reachable)."""
+    from abslog_ray.stages.dedup import jaccard_pairs
+    from abslog_ray.stages.graph import connected_components
+
+    pairs = jaccard_pairs(_docs(sf_dir), n=3, tau=0.5)
+    labels = connected_components(pairs, _docs(sf_dir), src="doc_a",
+                                  dst="doc_b", id_col="doc_id")
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["id"], pa.int64()),
+            "comp": pc.cast(t["comp"], pa.int64()),
+        })
+
+    return labels.map_batches(canon, batch_format="pyarrow")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+with recursive p as ({SQL_JACCARD_PAIRS}),
+e as (select doc_a as a, doc_b as b from p
+      union all select doc_b as a, doc_a as b from p),
+cc(id, r) as (
+  select doc_id, doc_id from documents
+  union
+  select cc.id, e.b from cc join e on e.a = cc.r)
+select id as doc_id, cast(min(r) as bigint) as comp
+from cc group by id"""
+
+
 def q_minhash_dupes(sf_dir: str):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (tau=0.5).
 
@@ -1414,6 +1448,7 @@ QUERIES = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
     "near_dedup_corpus": (q_near_dedup_corpus, SQL_NEAR_DEDUP_CORPUS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "quality_filtered": (q_quality_filtered, SQL_QUALITY_FILTERED),
     "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),

@@ -348,6 +348,52 @@ def test_blocked_near_dup_tiling_equivalence():
     assert len(tiled) >= 10
 
 
+def test_connected_components_vs_union_find():
+    """BSP min-label propagation == a scalar union-find on a random
+    graph with chains (transitivity beyond direct edges) and isolated
+    nodes; non-convergence within max_rounds raises."""
+    from abslog_ray.stages.graph import connected_components
+    rng = np.random.default_rng(53)
+    n = 300
+    edges = pd.DataFrame({
+        "a": rng.integers(0, n, 120).astype(np.int64),
+        "b": rng.integers(0, n, 120).astype(np.int64),
+    })
+    edges = edges[edges["a"] != edges["b"]].reset_index(drop=True)
+    chain = pd.DataFrame({"a": np.arange(200, 210, dtype=np.int64),
+                          "b": np.arange(201, 211, dtype=np.int64)})
+    edges = pd.concat([edges, chain], ignore_index=True)
+    nodes = pd.DataFrame({"id": np.arange(n, dtype=np.int64)})
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(edges["a"], edges["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_of = {}
+    for i in range(n):
+        r = find(i)
+        comp_of.setdefault(r, []).append(i)
+    want = {i: min(comp_of[find(i)]) for i in range(n)}
+
+    got = connected_components(
+        ray.data.from_pandas(edges), ray.data.from_pandas(nodes),
+        src="a", dst="b", id_col="id", n_buckets=4).to_pandas()
+    assert len(got) == n
+    got_map = dict(zip(got["id"], got["comp"]))
+    assert got_map == want
+
+    with pytest.raises(RuntimeError, match="convergence"):
+        connected_components(
+            ray.data.from_pandas(chain), ray.data.from_pandas(nodes),
+            src="a", dst="b", id_col="id", max_rounds=2, n_buckets=2)
+
+
 def test_lsh_near_dup_planted_and_guard():
     """Label-free LSH near-dup: identical/near-identical vectors always
     share a bucket, so planted dups surface with sim ~1.0; precision is
