@@ -35,8 +35,9 @@ BENCH_QUERIES = [
     "flagship_summary", "parse_fields", "gaps", "top_patterns",
     "pattern_detail", "minute_totals", "exact_dedup", "token_stats",
     "jaccard_pairs", "minhash_dupes", "knn", "embedding_dupes",
-    "lsh_ann", "lsh_near_dup", "simhash", "simhash_dupes", "langid", "approx_uniq_users",
-    "purchase_attribution", "heavy_tokens", "token_rarity",
+    "lsh_ann", "lsh_near_dup", "simhash", "simhash_dupes", "langid",
+    "approx_uniq_users", "purchase_attribution", "heavy_tokens",
+    "token_rarity", "near_dedup_corpus", "dedup_clusters",
 ]
 
 
