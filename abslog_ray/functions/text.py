@@ -81,6 +81,31 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def repetition_batch(batch: pa.Table, n: int = 3) -> pa.Table:
+    """doc_id, rep_ratio = 1 − distinct word-n-grams / total word-n-grams
+    — the Gopher-style repetition quality signal (high ratio ⇒ the doc
+    repeats itself; boilerplate / spam / degenerate generations).  0.0
+    for docs with fewer than ``n`` tokens.  Pure map-side: one token
+    split + the shingle kernel per batch."""
+    from abslog_ray.stages.dedup import shingle_batch
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    nrows = batch.num_rows
+    _flat, parents = _tokens_with_parents(batch["text"])
+    ntok = np.bincount(parents, minlength=nrows).astype(np.int64)
+    total = np.maximum(ntok - (n - 1), 0)
+    sh = shingle_batch(batch, n)                     # DISTINCT grams per doc
+    pos = pd.Index(ids).get_indexer(
+        sh["doc_id"].to_numpy(zero_copy_only=False))
+    distinct = np.bincount(pos, minlength=nrows).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.round(
+            np.where(total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0),
+            6)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "rep_ratio": pa.array(ratio)})
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """doc_id, fp = hex md5 of the utf-8 text (== DuckDB md5(text)).
     Per-row C md5 (~1µs/doc) kept because the oracle mirrors it; use

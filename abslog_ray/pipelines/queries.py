@@ -905,6 +905,31 @@ left join tf f on f.tok = tk.tok
 group by d.doc_id"""
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition signal: 1 − distinct/total word-3-grams
+    per doc (0 when the doc has < 3 tokens) — flags boilerplate and
+    degenerate text for the quality-filter family."""
+    from abslog_ray.functions.text import repetition_batch
+    return _docs(sf_dir).map_batches(repetition_batch,
+                                     batch_format="pyarrow")
+
+
+SQL_REPETITION = r"""
+with tk as (
+  select doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') as t
+  from documents),
+g as (
+  select doc_id,
+    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) as grams
+  from tk)
+select doc_id,
+  case when len(grams) = 0 then 0.0
+       else round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+  end as rep_ratio
+from g"""
+
+
 def q_redacted(sf_dir: str):
     """PII-style scrub: ordered RE2 redaction rules (email → URL → long
     digit runs), one vectorized Arrow replace pass per rule; the oracle
@@ -1456,6 +1481,7 @@ QUERIES = {
     "chunks": (q_chunks, SQL_CHUNKS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_scores": (q_quality, SQL_QUALITY),
+    "repetition": (q_repetition, SQL_REPETITION),
     "fingerprints": (q_fingerprint, SQL_FINGERPRINT),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "minhash_dupes": (q_minhash_dupes, SQL_JACCARD_PAIRS),

@@ -278,6 +278,26 @@ def test_token_rarity_vocab_cap(monkeypatch):
                                atol=2e-6)
 
 
+def test_repetition_ratio():
+    """Planted repetitive text scores high, all-distinct text scores 0,
+    short docs (< n tokens) score 0."""
+    from abslog_ray.functions.text import repetition_batch
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["spam ham " * 20,                     # heavy repetition
+                 "a b c d e f g h i j",               # all 3-grams distinct
+                 "one two",                            # < 3 tokens
+                 ""],
+    })
+    got = repetition_batch(pa.Table.from_pandas(df, preserve_index=False))
+    r = dict(zip(got["doc_id"].to_pylist(), got["rep_ratio"].to_pylist()))
+    toks = df["text"][0].split()
+    grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    want0 = round(1 - len(set(grams)) / len(grams), 6)
+    assert abs(r[0] - want0) < 1e-9 and r[0] > 0.9
+    assert r[1] == 0.0 and r[2] == 0.0 and r[3] == 0.0
+
+
 def test_fingerprint_matches_hashlib():
     import hashlib
     t = pa.table({"doc_id": pa.array([0], pa.int64()),
