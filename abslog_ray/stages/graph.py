@@ -85,4 +85,140 @@ def connected_components(edges, nodes, src: str = "a", dst: str = "b",
     raise RuntimeError(
         f"connected_components: no convergence in {max_rounds} rounds — "
         f"component diameter exceeds the dedup-graph assumption; use "
-        f"pointer doubling for long-chain graphs")
+        f"connected_components_star for long-chain graphs")
+
+
+def _canon_dedup(eds, n_buckets: int):
+    """Canonicalize to (lo, hi) with lo < hi, drop self-loops, distinct."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    def fn(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
+
+    return hash_aggregate(
+        eds.map_batches(fn, batch_format="pyarrow"), ["a", "b"],
+        {"n": ("*", "count")}, n_buckets=n_buckets).drop_columns(["n"])
+
+
+def _edge_checksum(eds) -> tuple:
+    """(count, order-independent 64-bit checksum) of an edge Dataset —
+    the convergence probe for the star rounds (two scalar aggregates,
+    nothing driver-side)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ \
+            (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        s = int(h.sum(dtype=np.uint64))
+        return pa.table({"c": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([s % (1 << 62)], pa.int64())})
+
+    parts = eds.map_batches(fn, batch_format="pyarrow")
+    return int(parts.sum("c") or 0), int(parts.sum("s") or 0)
+
+
+def connected_components_star(edges, nodes, src: str = "a", dst: str = "b",
+                              id_col: str = "id", max_rounds: int = 60,
+                              n_buckets: int = 16):
+    """Diameter-INDEPENDENT connected components: alternating
+    large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm),
+    converging in O(log² n) rounds regardless of chain length — the
+    scale path for graphs that break ``connected_components``'s shallow-
+    diameter assumption.
+
+    Each round is one keyed shuffle: symmetrized edges group on their
+    center node (bucket hash), the vectorized kernel links every
+    neighbor to the neighborhood minimum (large-star relinks only
+    larger neighbors, small-star the rest plus the center), and the
+    edge list re-canonicalizes through the two-phase aggregate.  At the
+    fixpoint every component is a star around its min node; labels fall
+    out of one final min-neighbor aggregate.  Convergence is detected by
+    an order-independent edge-set checksum (edge sets can oscillate in
+    COUNT before settling, so both count and checksum must repeat)."""
+    from abslog_ray.stages.aggregate import (
+        KEY_BUCKET,
+        add_key_bucket_fn,
+        hash_aggregate,
+    )
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.compute.cast(t[src], pa.int64()),
+            "b": pa.compute.cast(t[dst], pa.int64()),
+        })
+
+    eds = _canon_dedup(edges.map_batches(to_ab, batch_format="pyarrow"),
+                       n_buckets).repartition(n_buckets).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b]).astype(np.int64)),
+            "v": pa.array(np.concatenate([b, a]).astype(np.int64)),
+        })
+
+    def star_kernel(df: pd.DataFrame, large: bool) -> pd.DataFrame:
+        u = df["u"].to_numpy().astype(np.int64)
+        v = df["v"].to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(pd.Series(u), sort=False)
+        G = len(uniq)
+        uniq = uniq.to_numpy().astype(np.int64)
+        m = np.full(G, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m, codes, v)
+        m = np.minimum(m, uniq)                  # min(Γ(u) ∪ {u})
+        mrow = m[codes]
+        urow = uniq[codes]
+        if large:
+            mask = v > urow                      # relink larger neighbors
+            out_a, out_b = v[mask], mrow[mask]
+        else:
+            mask = v < urow                      # smaller neighbors + center
+            out_a = np.concatenate([v[mask], uniq])
+            out_b = np.concatenate([mrow[mask], m])
+        return pd.DataFrame({"a": out_a.astype(np.int64),
+                             "b": out_b.astype(np.int64)})
+
+    def star_round(eds, large: bool):
+        s = eds.map_batches(sym, batch_format="pyarrow")
+        s = s.map_batches(add_key_bucket_fn(n_buckets, keys=["u"]),
+                          batch_format="pyarrow")
+        linked = s.groupby(KEY_BUCKET).map_groups(
+            lambda df: star_kernel(df.drop(columns=[KEY_BUCKET]), large),
+            batch_format="pandas")
+        return _canon_dedup(linked, n_buckets).repartition(
+            n_buckets).materialize()
+
+    prev = _edge_checksum(eds)
+    for _round in range(max_rounds):
+        eds = star_round(eds, large=True)
+        eds = star_round(eds, large=False)
+        cur = _edge_checksum(eds)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no convergence in {max_rounds} "
+            f"large/small-star round pairs")
+
+    # stars: every node's label = min(itself, its neighbors)
+    def init_labels(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"id": pa.array(ids), "comp": pa.array(ids)})
+
+    def as_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["u"], "comp": t["v"]})
+
+    selfs = nodes.map_batches(init_labels, batch_format="pyarrow")
+    neigh = eds.map_batches(sym, batch_format="pyarrow").map_batches(
+        as_labels, batch_format="pyarrow")
+    return hash_aggregate(selfs.union(neigh), ["id"],
+                          {"comp": ("comp", "min")}, n_buckets=n_buckets)

@@ -414,6 +414,43 @@ def test_connected_components_vs_union_find():
             src="a", dst="b", id_col="id", max_rounds=2, n_buckets=2)
 
 
+def test_connected_components_star_long_chain():
+    """Large/small-star CC is diameter-independent: a 400-node chain
+    (propagation would need ~400 rounds; its guard raises well before)
+    converges in O(log^2 n) star rounds and matches ground truth; a
+    random graph matches the propagation variant."""
+    from abslog_ray.stages.graph import (
+        connected_components,
+        connected_components_star,
+    )
+    n = 420
+    chain = pd.DataFrame({"a": np.arange(0, 400, dtype=np.int64),
+                          "b": np.arange(1, 401, dtype=np.int64)})
+    nodes = pd.DataFrame({"id": np.arange(n, dtype=np.int64)})
+    got = connected_components_star(
+        ray.data.from_pandas(chain), ray.data.from_pandas(nodes),
+        src="a", dst="b", id_col="id", n_buckets=4).to_pandas()
+    gm = dict(zip(got["id"], got["comp"]))
+    assert len(gm) == n
+    assert all(gm[i] == 0 for i in range(401))        # one chain component
+    assert all(gm[i] == i for i in range(401, n))     # isolated nodes
+
+    rng = np.random.default_rng(59)
+    edges = pd.DataFrame({"a": rng.integers(0, 150, 80).astype(np.int64),
+                          "b": rng.integers(0, 150, 80).astype(np.int64)})
+    edges = edges[edges["a"] != edges["b"]].reset_index(drop=True)
+    nodes2 = pd.DataFrame({"id": np.arange(150, dtype=np.int64)})
+    a = connected_components_star(
+        ray.data.from_pandas(edges), ray.data.from_pandas(nodes2),
+        src="a", dst="b", id_col="id", n_buckets=4).to_pandas()
+    b = connected_components(
+        ray.data.from_pandas(edges), ray.data.from_pandas(nodes2),
+        src="a", dst="b", id_col="id", n_buckets=4).to_pandas()
+    am = dict(zip(a["id"], a["comp"]))
+    bm = dict(zip(b["id"], b["comp"]))
+    assert am == bm
+
+
 def test_lsh_near_dup_planted_and_guard():
     """Label-free LSH near-dup: identical/near-identical vectors always
     share a bucket, so planted dups surface with sim ~1.0; precision is
