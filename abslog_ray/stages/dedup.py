@@ -181,12 +181,17 @@ def shingles(ds, n: int = 3, id_col="doc_id", text_col="text"):
 
 def jaccard_pairs(ds=None, n: int = 3, tau: float = 0.5, id_col="doc_id",
                   text_col="text", shingle_buckets: int = 32,
-                  max_shingle_df: int = 1000, shingle_ds=None):
+                  max_shingle_df: int = 1000, shingle_ds=None,
+                  max_broadcast_docs: int = 2_000_000):
     """EXACT n-gram Jaccard similar pairs (doc_a < doc_b, jac >= tau).
 
     shingle explode → bucket-hash shingles → per-bucket pair counting
     (vectorized within bucket) → global pair aggregation → Jaccard filter.
-    Doc shingle-set sizes are broadcast into the final filter stage.
+    Doc shingle-set sizes reach the final filter by BROADCAST while the
+    corpus has ≤ ``max_broadcast_docs`` docs; above that they arrive via
+    two partitioned ``bucket_join``s onto the aggregated pairs instead —
+    the driver never holds the corpus-sized size table (r03 audit: this
+    was the last O(#docs) driver pull in the library).
 
     ``max_shingle_df`` guards the quadratic pair expansion: a shingle shared
     by m documents emits C(m,2) pairs, so one stopword n-gram with document
@@ -209,11 +214,14 @@ def jaccard_pairs(ds=None, n: int = 3, tau: float = 0.5, id_col="doc_id",
     sh = (shingle_ds if shingle_ds is not None
           else shingles(ds, n, id_col, text_col)).materialize()
 
-    # per-doc distinct shingle counts (small table → broadcast)
-    sizes = hash_aggregate(sh, [id_col],
-                           {"n_sh": ("*", "count")}).to_pandas()
-    size_map = dict(zip(sizes[id_col], sizes["n_sh"]))
-    size_ref = ray.put(size_map)
+    # per-doc distinct shingle counts: broadcast below the doc cap,
+    # partitioned join above it
+    sizes_ds = hash_aggregate(sh, [id_col],
+                              {"n_sh": ("*", "count")}).materialize()
+    broadcast_sizes = sizes_ds.count() <= max_broadcast_docs
+    if broadcast_sizes:
+        sizes = sizes_ds.to_pandas()
+        size_ref = ray.put(dict(zip(sizes[id_col], sizes["n_sh"])))
 
     sh = sh.map_batches(add_bucket_fn("shingle", shingle_buckets),
                         batch_format="pyarrow")
@@ -265,23 +273,60 @@ def jaccard_pairs(ds=None, n: int = 3, tau: float = 0.5, id_col="doc_id",
     agg = hash_aggregate(pair_ds, ["doc_a", "doc_b"],
                          {"inter": ("inter", "sum")})
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        smap = ray.get(size_ref)
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = pd.Series(a).map(smap).to_numpy(dtype=np.float64)
-        nb = pd.Series(b).map(smap).to_numpy(dtype=np.float64)
+    def _emit(a, b, inter, na, nb) -> pa.Table:
         # filter on the UNROUNDED ratio (== the SQL mirror's WHERE); round
         # only the emitted column
         jac = inter / (na + nb - inter)
         keep = jac >= tau
         return pa.table({
-            "doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep]),
+            "doc_a": pa.array(a[keep].astype(np.int64)),
+            "doc_b": pa.array(b[keep].astype(np.int64)),
             "jac": pa.array(np.round(jac[keep], 6)),
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    if broadcast_sizes:
+        def finalize(batch: pa.Table) -> pa.Table:
+            smap = ray.get(size_ref)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            inter = batch["inter"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            na = pd.Series(a).map(smap).to_numpy(dtype=np.float64)
+            nb = pd.Series(b).map(smap).to_numpy(dtype=np.float64)
+            return _emit(a, b, inter, na, nb)
+
+        return agg.map_batches(finalize, batch_format="pyarrow")
+
+    # corpus too large to broadcast: ship sizes via two partitioned joins
+    from abslog_ray.stages.join import bucket_join
+
+    def _rename(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"doc_{side}": t[id_col],
+                             f"n_{side}": t["n_sh"]})
+        return fn
+
+    j = bucket_join(agg, sizes_ds.map_batches(_rename("a"),
+                                              batch_format="pyarrow"),
+                    on="doc_a", how="inner", n_buckets=shingle_buckets)
+    j = bucket_join(j, sizes_ds.map_batches(_rename("b"),
+                                            batch_format="pyarrow"),
+                    on="doc_b", how="inner", n_buckets=shingle_buckets)
+
+    def finalize_joined(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        b = np.asarray(batch["doc_b"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        inter = np.asarray(batch["inter"].to_numpy(zero_copy_only=False),
+                           dtype=np.float64)
+        na = np.asarray(batch["n_a"].to_numpy(zero_copy_only=False),
+                        dtype=np.float64)
+        nb = np.asarray(batch["n_b"].to_numpy(zero_copy_only=False),
+                        dtype=np.float64)
+        return _emit(a, b, inter, na, nb)
+
+    return j.map_batches(finalize_joined, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

@@ -48,38 +48,73 @@ def bucket_join(left, right, on, how: str = "inner",
                 n_buckets: int = 32, suffixes=("", "_r")):
     """Partitioned hash join: tag → align → union → bucket shuffle →
     per-bucket vectorized merge.  Exactly one all-to-all exchange; skewed
-    keys spread across buckets by the hash of the full key."""
+    keys spread across buckets by the hash of the full key.
+
+    Alignment is done in ARROW with typed nulls and integer columns are
+    cast back to their declared width after the pandas merge (r03: the
+    old pandas ``None``-padding upcast carried columns to object/float,
+    and a CHAINED bucket_join then hashed 42.0 and 42 into different
+    buckets — silently empty joins)."""
     from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
 
     on = [on] if isinstance(on, str) else list(on)
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lsch, rsch = left.schema(), right.schema()
+    lcols, rcols = list(lsch.names), list(rsch.names)
+
+    def _arrow_type(t):
+        # Ray Schema carries numpy dtypes for pandas-block datasets
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()      # numpy object == string in this engine
+
+    ltypes = {n: _arrow_type(t) for n, t in zip(lsch.names, lsch.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rsch.names, rsch.types)}
     shared = [c for c in lcols if c in rcols and c not in on]
+    rmap = {c: (c + suffixes[1] if c in shared else c) for c in rcols}
     all_cols = on + [c for c in lcols if c not in on] + \
-        [c + suffixes[1] if c in shared else c
-         for c in rcols if c not in on]
+        [rmap[c] for c in rcols if c not in on]
+    types = dict(ltypes)
+    for c in rcols:
+        if c not in on:
+            types[rmap[c]] = rtypes[c]
 
     def tag(side):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            if side == "r":
-                df = df.rename(columns={c: c + suffixes[1] for c in shared})
-            df[SIDE_COL] = side
-            return _align(df, all_cols + [SIDE_COL])
+        def fn(t: pa.Table) -> pa.Table:
+            have = ({rmap.get(c, c) if c not in on else c: t[c]
+                     for c in rcols} if side == "r"
+                    else {c: t[c] for c in lcols})
+            cols = {c: (have[c] if c in have
+                        else pa.nulls(t.num_rows, types[c]))
+                    for c in all_cols}
+            cols[SIDE_COL] = pa.array(np.repeat(side, t.num_rows))
+            return pa.table(cols)
         return fn
 
-    both = left.map_batches(tag("l"), batch_format="pandas").union(
-        right.map_batches(tag("r"), batch_format="pandas"))
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow"))
     both = both.map_batches(add_key_bucket_fn(n_buckets, keys=on),
                             batch_format="pyarrow")
 
     l_only = [c for c in all_cols if c not in on and c in lcols]
     r_only = [c for c in all_cols if c not in on and c not in lcols]
+    int_cols = {c: np.dtype(types[c].to_pandas_dtype())
+                for c in all_cols
+                if pa.types.is_integer(types[c])}
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=[KEY_BUCKET])
-        l = df[df[SIDE_COL] == "l"][on + l_only]
-        r = df[df[SIDE_COL] == "r"][on + r_only]
-        return l.merge(r, on=on, how=how)
+        is_l = (df[SIDE_COL] == "l").to_numpy()
+        l = df[is_l][on + l_only]
+        r = df[~is_l][on + r_only]
+        out = l.merge(r, on=on, how=how)
+        for c, dt in int_cols.items():
+            if (c in out.columns and out[c].dtype != dt
+                    and not out[c].isna().any()):
+                out[c] = out[c].astype(dt)
+        return out
 
     return both.groupby(KEY_BUCKET).map_groups(merge, batch_format="pandas")
 

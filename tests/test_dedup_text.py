@@ -82,6 +82,19 @@ def test_minhash_recall_and_precision(docs_with_dupes):
     assert (0, 50) in approx_pairs and (1, 51) in approx_pairs
 
 
+def test_jaccard_sizes_join_path_equals_broadcast(docs_with_dupes):
+    """Above max_broadcast_docs the doc-size table ships via partitioned
+    joins instead of a driver broadcast; results are identical."""
+    ds = ray.data.from_pandas(docs_with_dupes)
+    a = jaccard_pairs(ds, n=3, tau=0.5).to_pandas()
+    b = jaccard_pairs(ray.data.from_pandas(docs_with_dupes), n=3, tau=0.5,
+                      max_broadcast_docs=0).to_pandas()
+    a = a.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    b = b.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(a.astype({"doc_a": np.int64}),
+                                  b.astype({"doc_a": np.int64}))
+
+
 def test_jaccard_mega_shingle_guard():
     """Adversarial df-skew fixture (VERDICT r01 next-round #4): one shingle
     shared by every doc must not drive C(m,2) pair expansion.  With the cap
