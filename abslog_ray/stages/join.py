@@ -140,25 +140,49 @@ def asof_join(left, right, by: str, on: str, how: str = "inner",
     suffixed where they clash with left's (including ``on``)."""
     from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
 
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lsch, rsch = left.schema(), right.schema()
+    lcols, rcols = list(lsch.names), list(rsch.names)
+
+    def _arrow_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    ltypes = {n: _arrow_type(t) for n, t in zip(lsch.names, lsch.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rsch.names, rsch.types)}
     shared = [c for c in rcols if c in lcols and c != by]
     rmap = {c: (c + suffixes[1] if c in shared else c)
             for c in rcols if c != by}
     r_on = rmap[on] if on in rmap else on
     r_val_cols = [rmap[c] for c in rcols if c != by]
     all_cols = [by] + [c for c in lcols if c != by] + r_val_cols
+    types = dict(ltypes)
+    for c in rcols:
+        if c != by:
+            types[rmap[c]] = rtypes[c]
+    int_restore = {c: np.dtype(types[c].to_pandas_dtype())
+                   for c in all_cols if pa.types.is_integer(types[c])}
 
     def tag(side):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            if side == "r":
-                df = df.rename(columns=rmap)
-            df[SIDE_COL] = side
-            return _align(df, all_cols + [SIDE_COL])
+        # Arrow-typed null padding: pandas None-fill upcasts columns to
+        # object/float and chained keyed ops then hash 42.0 != 42 (see
+        # bucket_join's r03 note)
+        def fn(t: pa.Table) -> pa.Table:
+            have = ({rmap.get(c, c) if c != by else by: t[c]
+                     for c in rcols} if side == "r"
+                    else {c: t[c] for c in lcols})
+            cols = {c: (have[c] if c in have
+                        else pa.nulls(t.num_rows, types[c]))
+                    for c in all_cols}
+            cols[SIDE_COL] = pa.array(np.repeat(side, t.num_rows))
+            return pa.table(cols)
         return fn
 
-    both = left.map_batches(tag("l"), batch_format="pandas").union(
-        right.map_batches(tag("r"), batch_format="pandas"))
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow"))
     both = both.map_batches(add_key_bucket_fn(n_buckets, keys=[by]),
                             batch_format="pyarrow")
 
@@ -169,21 +193,29 @@ def asof_join(left, right, by: str, on: str, how: str = "inner",
         is_l = (df[SIDE_COL] == "l").to_numpy()
         l = df[is_l]
         r = df[~is_l]
+        def _restore(out: pd.DataFrame) -> pd.DataFrame:
+            # cast upcast-survivor integer columns back to declared width
+            for c, dt in int_restore.items():
+                if (c in out.columns and out[c].dtype != dt
+                        and not out[c].isna().any()):
+                    out[c] = out[c].astype(dt)
+            return out
+
         out_empty = l.iloc[0:0][l_keep + r_val_cols]
         if len(l) == 0:
-            return out_empty
+            return _restore(out_empty)
         if len(r) == 0:
             # a bucket whose keys have no right-side rows at all (ADVICE r02
             # high): the ffill kernel below would index empty arrays — the
             # correct result is no matches (inner) or all-null right columns
             # (left join)
             if how == "inner":
-                return out_empty
+                return _restore(out_empty)
             out = l[l_keep].reset_index(drop=True)
             empty = r[r_val_cols].reindex(range(len(out)))
             for c in r_val_cols:
                 out[c] = empty[c].to_numpy()
-            return out
+            return _restore(out)
         codes, _u = pd.factorize(
             pd.concat([r[by], l[by]], ignore_index=True), sort=False)
         rcode, lcode = codes[:len(r)], codes[len(r):]
@@ -216,14 +248,14 @@ def asof_join(left, right, by: str, on: str, how: str = "inner",
             matched = rv.iloc[cand[valid]].reset_index(drop=True)
             for c in r_val_cols:
                 out[c] = matched[c].to_numpy()
-            return out
+            return _restore(out)
         # left join: unmatched right columns become nulls
         out = l.iloc[lrow][l_keep].reset_index(drop=True)
         matched = rv.iloc[np.maximum(cand, 0)].reset_index(drop=True)
         vmask = pd.Series(valid)
         for c in r_val_cols:
             out[c] = matched[c].where(vmask)
-        return out
+        return _restore(out)
 
     return both.groupby(KEY_BUCKET).map_groups(merge, batch_format="pandas")
 
