@@ -5,7 +5,7 @@ log_analyse.py collector).
     python -m abslog_ray.cli run --input DIR --sink DIR [--checkpoint DIR] [--dedup]
     python -m abslog_ray.cli request --sink DIR [-l N] [-f ISO] [-t ISO] [-s ROLE]
     python -m abslog_ray.cli detail --sink DIR --pattern P [-l N]
-    python -m abslog_ray.cli distribution --sink DIR [--unit hour]
+    python -m abslog_ray.cli distribution --sink DIR [--unit hour] [--pattern P]
     python -m abslog_ray.cli query --name NAME [--sf-dir DIR] [--list]
 
 Owns its Ray session (the ONLY library-adjacent place allowed to init Ray
@@ -61,6 +61,9 @@ def main(argv=None):
         if name == "distribution":
             q.add_argument("--unit", default="hour",
                            choices=["minute", "ten_min", "hour", "day"])
+            q.add_argument("--pattern",
+                           help="restrict to one abstracted pattern "
+                                "(reference: distribution for one uri_abs)")
         q.add_argument("--metric", default="hits",
                        choices=["hits", "bytes_sum", "err_hits"])
 
@@ -116,7 +119,7 @@ def main(argv=None):
     elif args.cmd == "detail":
         out = show.pattern_detail(ds, args.pattern, n=args.limit)
     else:
-        out = show.distribution(ds, args.unit)
+        out = show.distribution(ds, args.unit, pattern=args.pattern)
     print(out.to_pandas().to_string())
     import ray
     ray.shutdown()

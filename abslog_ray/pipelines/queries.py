@@ -411,6 +411,40 @@ select strftime(minute, '%y%m%d%H') as bucket,
 from s group by 1 order by 1"""
 
 
+def q_distribution_hour_pattern(sf_dir: str):
+    """K3 for ONE pattern (reference: ``distribution`` works "for whole
+    site or one uri_abs" [R:log_show.py (hi)]; VERDICT r03 missing #2):
+    the same hourly bucket re-truncation restricted to DETAIL_PATTERN."""
+    from abslog_ray.pipelines.show import distribution
+    summary = build_summary(_enriched(sf_dir), _cfg())
+    return distribution(summary, "hour", pattern=DETAIL_PATTERN)
+
+
+SQL_DISTRIBUTION_HOUR_PATTERN = _PRELUDE + f"""
+select strftime(minute, '%y%m%d%H') as bucket,
+  cast(sum(hits) as bigint) as hits,
+  cast(sum(err_hits) as bigint) as err_hits,
+  cast(sum(bytes_sum) as bigint) as bytes_sum
+from s where pattern = '{DETAIL_PATTERN}' group by 1 order by 1"""
+
+
+def q_status_breakdown(sf_dir: str):
+    """A5 FULL shape (VERDICT r03 missing #1): per
+    (role, minute, status_class) hit counts over parsed rows — the
+    reference minute-document's errors/status breakdown
+    [R:log_analyse.py (med)] that ``summarize`` collapses to one
+    err_hits conditional sum."""
+    from abslog_ray.stages.aggregate import status_breakdown
+    return status_breakdown(_enriched(sf_dir))
+
+
+SQL_STATUS_BREAKDOWN = _PRELUDE + """
+select role, minute,
+  cast(status // 100 as varchar) || 'xx' as status_class,
+  count(*) as hits
+from f where parsed group by role, minute, status_class"""
+
+
 # tool -> category lookup used for the enrich broadcast-join query; the SQL
 # mirror inlines it as VALUES, the Ray side broadcasts it into the actor pool
 EVENT_TOOL_CATS = {
@@ -1454,6 +1488,9 @@ QUERIES = {
     "top_patterns": (q_top_patterns, SQL_TOP_PATTERNS),
     "pattern_detail": (q_pattern_detail, SQL_PATTERN_DETAIL),
     "distribution_hour": (q_distribution_hour, SQL_DISTRIBUTION_HOUR),
+    "distribution_hour_pattern": (q_distribution_hour_pattern,
+                                  SQL_DISTRIBUTION_HOUR_PATTERN),
+    "status_breakdown": (q_status_breakdown, SQL_STATUS_BREAKDOWN),
     "enrich_lookup": (q_enrich_lookup, SQL_ENRICH_LOOKUP),
     "distinct_tools": (q_distinct_tools, SQL_DISTINCT_TOOLS),
     # raw events family

@@ -283,13 +283,18 @@ _BUCKET_FMTS = {
 }
 
 
-def distribution(ds_summary, unit="hour"):
+def distribution(ds_summary, unit="hour", pattern=None):
     """K3: hits/bytes per coarser time bucket (minute/ten_min/hour/day),
     re-truncating the minute key — same as the reference slicing its
-    yymmddHHMM minute strings."""
+    yymmddHHMM minute strings.  ``pattern`` restricts the distribution to
+    one abstracted pattern, matching the reference's "whole site or one
+    uri_abs" distribution [R:log_show.py (hi)] (VERDICT r03 "What's
+    missing #2")."""
     fmt = _BUCKET_FMTS[unit]
 
     def fn(t: pa.Table) -> pa.Table:
+        if pattern is not None:
+            t = t.filter(pc.equal(t["pattern"], pattern))
         b = pc.strftime(t["minute"], format=fmt)
         if unit == "ten_min":
             b = pc.utf8_slice_codeunits(b, 0, 9)
