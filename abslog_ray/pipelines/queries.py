@@ -1119,18 +1119,17 @@ select doc_id, text from documents
 where doc_id not in (select doc_b from ({SQL_JACCARD_PAIRS}))"""
 
 
-def q_dedup_clusters(sf_dir: str):
-    """Near-dup CLUSTERS: connected components over the ≥0.5-Jaccard
-    pair graph (BSP min-label propagation on Dataset primitives,
-    stages/graph.py) — every doc labeled with the min doc_id of its
-    component; singletons label themselves.  Oracle: DuckDB recursive
-    CTE computing full reachability and taking min(reachable)."""
-    from abslog_ray.stages.dedup import jaccard_pairs
-    from abslog_ray.stages.graph import connected_components
+def _cluster_labels(pairs, nodes):
+    """Label step shared by ``q_dedup_clusters`` and its chain-graph test:
+    DIAMETER-INDEPENDENT connected components (large/small-star,
+    stages/graph.py) — the O(diameter) propagation variant dies on a
+    >50-link chain, which template-heavy corpora do produce at scale
+    (VERDICT r03 "What's wrong #2"), so the shipped query routes through
+    the star rounds."""
+    from abslog_ray.stages.graph import connected_components_star
 
-    pairs = jaccard_pairs(_docs(sf_dir), n=3, tau=0.5)
-    labels = connected_components(pairs, _docs(sf_dir), src="doc_a",
-                                  dst="doc_b", id_col="doc_id")
+    labels = connected_components_star(pairs, nodes, src="doc_a",
+                                       dst="doc_b", id_col="doc_id")
 
     def canon(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1139,6 +1138,18 @@ def q_dedup_clusters(sf_dir: str):
         })
 
     return labels.map_batches(canon, batch_format="pyarrow")
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: connected components over the ≥0.5-Jaccard
+    pair graph (diameter-independent large/small-star rounds,
+    stages/graph.py) — every doc labeled with the min doc_id of its
+    component; singletons label themselves.  Oracle: DuckDB recursive
+    CTE computing full reachability and taking min(reachable)."""
+    from abslog_ray.stages.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(_docs(sf_dir), n=3, tau=0.5)
+    return _cluster_labels(pairs, _docs(sf_dir))
 
 
 SQL_DEDUP_CLUSTERS = f"""
