@@ -1450,8 +1450,28 @@ def q_lsh_near_dup(sf_dir: str):
     return ds.map_batches(canon, batch_format="pyarrow")
 
 
+def q_lsh_near_dup_probe(sf_dir: str):
+    """Multi-probe lsh_near_dup (probe_radius=1, VERDICT r03 missing #4):
+    pairs whose LCG-plane codes differ in ≤ 1 bit — the recall knob at
+    fixed n_planes.  The probe set is SQL-expressible
+    (``bit_count(xor(bucket_a, bucket_b)) <= 1``), so this is a full
+    value-level oracle of the replication + dedup machinery, not just a
+    recall assertion."""
+    from abslog_ray.stages.similarity import lsh_near_dup
+    ds = lsh_near_dup(_emb(sf_dir), tau=0.3, n_planes=8, probe_radius=1)
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_a": pc.cast(t["vec_a"], pa.int64()),
+            "vec_b": pc.cast(t["vec_b"], pa.int64()),
+            "sim": pc.cast(t["sim"], pa.float64()),
+        })
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
 def _lsh_near_dup_sql(n_planes: int = 8, seed: int = 7, dim: int = 64,
-                      tau: float = 0.3) -> str:
+                      tau: float = 0.3, probe_radius: int = 0) -> str:
     from abslog_ray.stages.similarity import _LCG_A, _LCG_C, _LCG_M
     w = (f"cast(({_LCG_A} * (({_LCG_A} * (d*{n_planes} + p + {seed}) "
          f"+ {_LCG_C}) % {_LCG_M}) + {_LCG_C}) % {_LCG_M} as double) "
@@ -1475,11 +1495,14 @@ bk as (
 v as (select b.vec_id, b.bucket, e.emb from bk b join e using (vec_id))
 select a.vec_id as vec_a, b.vec_id as vec_b,
   round(list_cosine_similarity(a.emb, b.emb), 6) as sim
-from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
+from v a join v b
+  on bit_count(xor(a.bucket, b.bucket)) <= {probe_radius}
+  and a.vec_id < b.vec_id
 where round(list_cosine_similarity(a.emb, b.emb), 6) >= {tau}"""
 
 
 SQL_LSH_NEAR_DUP = _lsh_near_dup_sql()
+SQL_LSH_NEAR_DUP_PROBE = _lsh_near_dup_sql(probe_radius=1)
 
 
 # ==========================================================================
@@ -1541,4 +1564,5 @@ QUERIES = {
     "embedding_dupes": (q_embedding_dupes, SQL_EMBEDDING_DUPES),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
     "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
+    "lsh_near_dup_probe": (q_lsh_near_dup_probe, SQL_LSH_NEAR_DUP_PROBE),
 }

@@ -546,6 +546,27 @@ def test_lsh_near_dup_planted_and_guard():
         lsh_near_dup(ray.data.from_pandas(df), tau=0.9, n_planes=1,
                      dim=16, max_bucket_rows=50).to_pandas()
 
+    # multi-probe recall knob (VERDICT r03 missing #4): radius 1 finds
+    # EXACTLY the ≥tau pairs whose codes differ in ≤1 bit — a superset of
+    # radius 0, no duplicates, precision still exact
+    probed = lsh_near_dup(ray.data.from_pandas(df), tau=0.6, n_planes=6,
+                          dim=16, probe_radius=1).to_pandas()
+    base = lsh_near_dup(ray.data.from_pandas(df), tau=0.6, n_planes=6,
+                        dim=16).to_pandas()
+    pk = set(zip(probed["vec_a"], probed["vec_b"]))
+    assert len(pk) == len(probed)                      # deduped
+    assert set(zip(base["vec_a"], base["vec_b"])) <= pk
+    from abslog_ray.stages.similarity import lcg_planes
+    codes = ((_normalize(emb) @ lcg_planes(16, 6)) > 0) @ (
+        1 << np.arange(6))
+    want = set()
+    for i in range(200):
+        for j in range(i + 1, 200):
+            ham = bin(int(codes[i]) ^ int(codes[j])).count("1")
+            if ham <= 1 and np.round(M[i] @ M[j], 6) >= 0.6:
+                want.add((i, j))
+    assert pk == want
+
 
 def test_blocked_near_dup_giant_label_guard():
     """A label block over max_block_rows raises by default (fail loud
