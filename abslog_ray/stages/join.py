@@ -23,6 +23,33 @@ import pyarrow as pa
 
 SIDE_COL = "__side"
 
+_PD_NULLABLE = {np.dtype(k): v for k, v in {
+    "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32",
+    "uint64": "UInt64"}.items()}
+
+
+def _int_restore_fn(int_cols: dict, nullable_cols: set):
+    """Per-bucket integer-width restore decided GLOBALLY per column
+    (ADVICE r03: a per-bucket ``isna().any()`` condition let a left join
+    emit mixed int64/float64 dtypes for the same column across buckets —
+    the 42-vs-42.0 bucket-hash split all over again).  Columns a join
+    type can null-pad (``nullable_cols``) restore to the pandas nullable
+    Int dtype in EVERY bucket; all other integer columns restore to
+    their declared numpy width unconditionally (original nulls in such a
+    column raise loudly rather than silently changing representation)."""
+
+    def restore(out: pd.DataFrame) -> pd.DataFrame:
+        for c, dt in int_cols.items():
+            if c not in out.columns:
+                continue
+            tgt = _PD_NULLABLE[dt] if c in nullable_cols else dt
+            if str(out[c].dtype) != str(tgt):
+                out[c] = out[c].astype(tgt)
+        return out
+
+    return restore
+
 
 def broadcast_join(ds, right_df: pd.DataFrame, on, how: str = "left"):
     """Small-side join: right_df is broadcast once per actor/task."""
@@ -103,18 +130,19 @@ def bucket_join(left, right, on, how: str = "inner",
     int_cols = {c: np.dtype(types[c].to_pandas_dtype())
                 for c in all_cols
                 if pa.types.is_integer(types[c])}
+    # which columns this join TYPE can null-pad (keys never are: they
+    # come from whichever side matched)
+    nullable = {"inner": set(), "left": set(r_only),
+                "right": set(l_only),
+                "outer": set(l_only) | set(r_only)}[how]
+    restore = _int_restore_fn(int_cols, nullable)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=[KEY_BUCKET])
         is_l = (df[SIDE_COL] == "l").to_numpy()
         l = df[is_l][on + l_only]
         r = df[~is_l][on + r_only]
-        out = l.merge(r, on=on, how=how)
-        for c, dt in int_cols.items():
-            if (c in out.columns and out[c].dtype != dt
-                    and not out[c].isna().any()):
-                out[c] = out[c].astype(dt)
-        return out
+        return restore(l.merge(r, on=on, how=how))
 
     return both.groupby(KEY_BUCKET).map_groups(merge, batch_format="pandas")
 
@@ -163,8 +191,13 @@ def asof_join(left, right, by: str, on: str, how: str = "inner",
     for c in rcols:
         if c != by:
             types[rmap[c]] = rtypes[c]
-    int_restore = {c: np.dtype(types[c].to_pandas_dtype())
-                   for c in all_cols if pa.types.is_integer(types[c])}
+    int_cols = {c: np.dtype(types[c].to_pandas_dtype())
+                for c in all_cols if pa.types.is_integer(types[c])}
+    # left-asof can null-pad only the right value columns; the global
+    # per-column policy (see _int_restore_fn) keeps dtypes identical
+    # across buckets whether or not a given bucket had unmatched rows
+    _restore = _int_restore_fn(
+        int_cols, set(r_val_cols) if how != "inner" else set())
 
     def tag(side):
         # Arrow-typed null padding: pandas None-fill upcasts columns to
@@ -193,14 +226,6 @@ def asof_join(left, right, by: str, on: str, how: str = "inner",
         is_l = (df[SIDE_COL] == "l").to_numpy()
         l = df[is_l]
         r = df[~is_l]
-        def _restore(out: pd.DataFrame) -> pd.DataFrame:
-            # cast upcast-survivor integer columns back to declared width
-            for c, dt in int_restore.items():
-                if (c in out.columns and out[c].dtype != dt
-                        and not out[c].isna().any()):
-                    out[c] = out[c].astype(dt)
-            return out
-
         out_empty = l.iloc[0:0][l_keep + r_val_cols]
         if len(l) == 0:
             return _restore(out_empty)

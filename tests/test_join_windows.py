@@ -46,6 +46,36 @@ def test_bucket_join_shared_column_suffix():
     assert sorted(got.columns) == ["k", "v", "v_r"]
 
 
+def test_bucket_join_left_int_dtype_uniform_across_buckets():
+    """ADVICE r03: a left join where only SOME buckets contain unmatched
+    rows must emit ONE dtype for a right-side int column in every bucket
+    (pandas nullable Int64), so a chained keyed op hashes 42 — never a
+    stray 42.0 — and matched rows keep exact integer values."""
+    n = 200
+    l = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                      "lv": np.arange(n, dtype=np.int64) * 10})
+    # keys 0..149 match; 150..199 don't — with n_buckets=8 some buckets
+    # are fully matched and others mixed
+    r = pd.DataFrame({"k": np.arange(150, dtype=np.int64),
+                      "rv": np.arange(150, dtype=np.int64) + 1_000_000})
+    got = bucket_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                      on="k", how="left", n_buckets=8).to_pandas()
+    assert str(got["rv"].dtype) == "Int64"          # uniform, nullable
+    assert str(got["lv"].dtype) == "int64"          # never padded
+    assert got["rv"].isna().sum() == 50
+    m = got.dropna(subset=["rv"]).astype({"rv": np.int64})
+    assert (m.sort_values("k")["rv"].to_numpy()
+            == np.arange(150) + 1_000_000).all()
+    # chained keyed op on the carried int column still buckets correctly
+    chained = bucket_join(
+        ray.data.from_pandas(pd.DataFrame(
+            {"rv": np.arange(150, dtype=np.int64) + 1_000_000,
+             "tag": ["x"] * 150})),
+        ray.data.from_pandas(m[["k", "rv"]]),
+        on="rv", how="inner", n_buckets=4).to_pandas()
+    assert len(chained) == 150
+
+
 def test_broadcast_join(orders_customers):
     orders, cust = orders_customers
     got = broadcast_join(ray.data.from_pandas(orders), cust,
