@@ -140,6 +140,20 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
     # creation auto-inits Ray exactly like the Dataset read below would.
     manifest = ActorManifest.at(ckpt)
 
+    # dedup_turns changes the routed sink's schema (fp64 column) and the
+    # cross-chunk seen-set contract; flipping it against already-committed
+    # chunks would crash the seen-set read (missing fp64) or silently mix
+    # deduped and non-deduped partitions — fail fast instead (ADVICE r03)
+    for cid, m in manifest.metrics().items():
+        rec = m.get("dedup_turns")
+        if rec is not None and rec != bool(cfg.dedup_turns):
+            raise ValueError(
+                f"run_pipeline: chunk {cid} was committed with "
+                f"dedup_turns={rec} but this run has "
+                f"dedup_turns={bool(cfg.dedup_turns)}; rerun with the "
+                f"same flag, or point at a fresh sink_root/checkpoint "
+                f"to rebuild")
+
     files = (list_fragments(input_path)
              if isinstance(input_path, str) else list(input_path))
     chunks = [files[i:i + cfg.chunk_files]
@@ -219,6 +233,7 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
                 concurrency=cfg.write_concurrency)
             manifest.mark(chunk_id, "routed", chunk_files, {
                 "wall_s": round(time.time() - t0, 3),
+                "dedup_turns": bool(cfg.dedup_turns),
                 "sinks": {"routed": _sink_stats(routed_dir)},
             })
         t_route = time.time()
@@ -238,6 +253,7 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
 
         manifest.commit(chunk_id, chunk_files, {
             "wall_s": round(time.time() - t0, 3),
+            "dedup_turns": bool(cfg.dedup_turns),
             "phase_wall_s": {
                 "parse_enrich_route": (prior_route_wall if routed_ready
                                        else round(t_route - t0, 3)),

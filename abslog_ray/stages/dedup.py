@@ -79,8 +79,9 @@ def exact_dedup_groups(ds, id_col="doc_id", text_col="text",
 
 def keep_first_unseen(ds, fp_col: str = "fp64",
                       order_cols=("conv_id", "turn_idx"),
-                      seen_ds=None, n_buckets: int = 32):
-    """EP1 in-pipeline exact dedup (keep-one-ROW): per distinct ``fp_col``
+                      seen_ds=None, n_buckets: int = 32,
+                      text_col: str = "text"):
+    """EP1 in-pipeline exact dedup (keep-one-ROW): per distinct turn text
     keep the lexicographically-first row by ``order_cols``; rows whose fp
     appears in ``seen_ds`` (fingerprints of previously committed chunks)
     are dropped entirely.
@@ -92,12 +93,23 @@ def keep_first_unseen(ds, fp_col: str = "fp64",
     the rows once — there is no winner-selection scheme that avoids
     re-shipping the surviving text — so this stage is opt-in
     (``PipelineConfig.dedup_turns``) and the only place EP1 shuffles the
-    ``text`` column."""
+    ``text`` column.
+
+    Collision semantics (ADVICE r03): within a chunk, groups key on
+    (fp, ``text_col``) — the text already ships through this shuffle, so
+    two DISTINCT texts colliding on the 64-bit SipHash both survive.
+    The cross-chunk seen-set is fingerprint-only by design (the durable
+    seen state is the routed sink's fp64 column; texts of committed
+    chunks are not re-read), so a cross-chunk 64-bit collision still
+    drops a distinct row — ~n²/2⁶⁵ expected at n rows, documented as the
+    accepted trade for an O(1)-width durable seen-set."""
     from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+    from abslog_ray.stages.join import arrow_type
 
     SEEN = "__seen"
     sch = ds.schema()
-    names, types = list(sch.names), list(sch.types)
+    names = list(sch.names)
+    types = [arrow_type(t) for t in sch.types]
     assert fp_col in names, f"{fp_col} missing — add_fp64_column first"
 
     def tag_left(t: pa.Table) -> pa.Table:
@@ -128,12 +140,20 @@ def keep_first_unseen(ds, fp_col: str = "fp64",
         cand = np.flatnonzero(~seen & ~np.isin(fp, fp[seen]))
         if len(cand) == 0:
             return out_t.slice(0, 0)
+        if text_col in t.column_names:
+            # group on (fp, text): a within-chunk SipHash collision of two
+            # distinct texts keeps both (the text is already in flight)
+            tcodes, _ = pd.factorize(
+                t[text_col].to_pandas().to_numpy()[cand], sort=False)
+        else:
+            tcodes = np.zeros(len(cand), dtype=np.int64)
         keys = [t[c].to_numpy(zero_copy_only=False)[cand]
                 for c in reversed(list(order_cols))]
-        o = np.lexsort(tuple(keys) + (fp[cand],))
+        o = np.lexsort(tuple(keys) + (tcodes, fp[cand]))
         sfp = fp[cand][o]
+        stc = tcodes[o]
         first = np.ones(len(o), dtype=bool)
-        first[1:] = sfp[1:] != sfp[:-1]
+        first[1:] = (sfp[1:] != sfp[:-1]) | (stc[1:] != stc[:-1])
         sel = np.sort(cand[o[first]])
         return out_t.take(pa.array(sel))
 

@@ -29,6 +29,18 @@ _PD_NULLABLE = {np.dtype(k): v for k, v in {
     "uint64": "UInt64"}.items()}
 
 
+def arrow_type(t):
+    """Normalize a Ray ``Schema`` type entry to a pyarrow DataType — Ray
+    carries numpy dtypes (or bare Python classes) for pandas-block
+    datasets.  numpy ``object`` means string in this engine."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
+
+
 def _int_restore_fn(int_cols: dict, nullable_cols: set):
     """Per-bucket integer-width restore decided GLOBALLY per column
     (ADVICE r03: a per-bucket ``isna().any()`` condition let a left join
@@ -88,17 +100,8 @@ def bucket_join(left, right, on, how: str = "inner",
     lsch, rsch = left.schema(), right.schema()
     lcols, rcols = list(lsch.names), list(rsch.names)
 
-    def _arrow_type(t):
-        # Ray Schema carries numpy dtypes for pandas-block datasets
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()      # numpy object == string in this engine
-
-    ltypes = {n: _arrow_type(t) for n, t in zip(lsch.names, lsch.types)}
-    rtypes = {n: _arrow_type(t) for n, t in zip(rsch.names, rsch.types)}
+    ltypes = {n: arrow_type(t) for n, t in zip(lsch.names, lsch.types)}
+    rtypes = {n: arrow_type(t) for n, t in zip(rsch.names, rsch.types)}
     shared = [c for c in lcols if c in rcols and c not in on]
     rmap = {c: (c + suffixes[1] if c in shared else c) for c in rcols}
     all_cols = on + [c for c in lcols if c not in on] + \
@@ -171,16 +174,8 @@ def asof_join(left, right, by: str, on: str, how: str = "inner",
     lsch, rsch = left.schema(), right.schema()
     lcols, rcols = list(lsch.names), list(rsch.names)
 
-    def _arrow_type(t):
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()
-
-    ltypes = {n: _arrow_type(t) for n, t in zip(lsch.names, lsch.types)}
-    rtypes = {n: _arrow_type(t) for n, t in zip(rsch.names, rsch.types)}
+    ltypes = {n: arrow_type(t) for n, t in zip(lsch.names, lsch.types)}
+    rtypes = {n: arrow_type(t) for n, t in zip(rsch.names, rsch.types)}
     shared = [c for c in rcols if c in lcols and c != by]
     rmap = {c: (c + suffixes[1] if c in shared else c)
             for c in rcols if c != by}

@@ -204,6 +204,32 @@ def test_simhash_pairs_mega_band_guard():
     assert len(got) == 0
 
 
+def test_keep_first_unseen_fp_collision_keeps_distinct_texts():
+    """ADVICE r03: within a chunk, two DISTINCT texts colliding on the
+    64-bit fingerprint must BOTH survive (groups key on (fp, text), not
+    fp alone — the text already ships through the shuffle); true dups
+    still collapse to the (conv_id, turn_idx)-first row."""
+    from abslog_ray.stages.dedup import keep_first_unseen
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3", "c4", "c5"],
+        "turn_idx": np.arange(5, dtype=np.int64),
+        "text": ["alpha", "beta", "alpha", "gamma", "delta"],
+        # planted collision: 'beta' (c2) and 'gamma' (c4) share an fp;
+        # 'alpha' is a true dup (c1 wins over c3)
+        "fp64": np.array([10, 77, 10, 77, 42], dtype=np.int64),
+    })
+    got = keep_first_unseen(ray.data.from_pandas(df),
+                            n_buckets=2).to_pandas()
+    assert set(got["conv_id"]) == {"c1", "c2", "c4", "c5"}
+    # seen-set path stays fp-ONLY (documented caveat): an fp present in
+    # seen_ds drops every current row with that fp regardless of text
+    seen = ray.data.from_pandas(pd.DataFrame(
+        {"fp64": np.array([77], dtype=np.int64)}))
+    got2 = keep_first_unseen(ray.data.from_pandas(df), seen_ds=seen,
+                             n_buckets=2).to_pandas()
+    assert set(got2["conv_id"]) == {"c1", "c5"}
+
+
 def test_lsh_candidates_mega_band_cap():
     """lsh_candidates' band-group guard is a WARN-logged parameter, not a
     silent hard-coded skip (VERDICT r03 "What's wrong #1"): a planted

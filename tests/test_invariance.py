@@ -184,6 +184,14 @@ def test_dedup_turns_pipeline(t1_df, default_cfg, tmp_path):
             os.path.join(cfg2.sink_root, sink)).to_pandas()
         assert_frames_equal(x, y, key_cols=None)
 
+    # ADVICE r03: flipping --dedup against committed chunks must fail
+    # fast (the flag is recorded per chunk in the manifest), not crash
+    # later on the missing fp64 column / mixed routed schemas
+    import pytest as _pt
+    cfg_flip = dataclasses.replace(cfg2, dedup_turns=False)
+    with _pt.raises(ValueError, match="dedup_turns"):
+        run_pipeline(files, cfg_flip)
+
 
 def test_resume_append_rechunk(t1_path, default_cfg, tmp_path):
     """Files appended after a committed run can land inside an existing
