@@ -8,12 +8,15 @@ Decode support is split by what the environment can honestly do:
   **PPM (P6)** images — full header parse, pixel decode to (h, w, 3)
   uint8, nearest-neighbor resize + re-encode (``ImageResizer``);
   **PNG** (non-interlaced 8-bit, incl. palette) — stdlib zlib inflate +
-  per-scanline unfilter in numpy, plus a matching encoder; and
+  per-scanline unfilter in numpy, plus a matching encoder;
+  **baseline JPEG** (SOF0, 8-bit, incl. chroma subsampling and restart
+  markers) — marker walk + canonical Huffman + numpy IDCT in
+  ``stages/jpeg.py``, plus a matching baseline encoder; and
   **WAV** audio — stdlib ``wave`` + ``np.frombuffer`` sample decode with
   RMS / peak / zero-crossing features.
 - STUBBED kernels for formats that genuinely need codec libraries
-  (JPEG/MP4...): clearly marked ``NotImplementedError`` unless the
-  deterministic fake decoder is enabled.
+  (MP4 / progressive JPEG...): clearly marked ``NotImplementedError``
+  unless the deterministic fake decoder is enabled.
 
 All the Ray-side plumbing — schema handling, binary-column batching, actor
 signature, output layout — is identical for both paths and tested:
@@ -36,6 +39,8 @@ import json
 
 import numpy as np
 import pyarrow as pa
+
+from abslog_ray.stages.jpeg import decode_jpeg, encode_jpeg, synth_jpeg  # noqa: F401 (re-exported)
 
 MEDIA_SCHEMA = pa.schema([
     ("item_id", pa.int64()),
@@ -276,6 +281,8 @@ def _sniff(payload: bytes) -> str:
         return "ppm"
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     if payload[:4] == _WAV_MAGIC[0] and payload[8:12] == _WAV_MAGIC[1]:
         return "wav"
     return "unknown"
@@ -307,9 +314,10 @@ class MediaDecoder:
 
     def _decode_one(self, payload: bytes, kind: str) -> np.ndarray:
         fmt = _sniff(payload)
-        if fmt in ("ppm", "png"):
+        if fmt in ("ppm", "png", "jpeg"):
             img = (decode_ppm(payload) if fmt == "ppm"
-                   else decode_png(payload))
+                   else decode_png(payload) if fmt == "png"
+                   else decode_jpeg(payload))
             c = img.shape[2]
             flat = img.reshape(-1, c).astype(np.float64)
             mean3 = np.zeros(3)
@@ -329,9 +337,10 @@ class MediaDecoder:
                               float(np.abs(mono).max(initial=0.0)), zcr])
         if not self.fake:
             raise NotImplementedError(
-                "payload is none of PPM/PNG/WAV, and no codec libraries "
-                "(PIL/ffmpeg) exist in this environment; construct "
-                "MediaDecoder(fake=True) for the deterministic stand-in")
+                "payload is none of PPM/PNG/baseline-JPEG/WAV, and no "
+                "codec libraries (PIL/ffmpeg) exist in this environment; "
+                "construct MediaDecoder(fake=True) for the deterministic "
+                "stand-in")
         h = hashlib.sha256(payload).digest()
         raw = np.frombuffer((h * ((self.dim * 4) // len(h) + 1))[: self.dim * 4],
                             dtype=np.uint32)
@@ -353,9 +362,10 @@ class MediaDecoder:
 
 
 class ImageResizer:
-    """Actor-pool resize stage for PPM/PNG image rows: decode → nearest-
-    neighbor resize → re-encode, payload replaced in place (binary stays
-    Arrow end-to-end).  Non-PPM rows pass through untouched."""
+    """Actor-pool resize stage for PPM/PNG/JPEG image rows: decode →
+    nearest-neighbor resize → re-encode (same format), payload replaced
+    in place (binary stays Arrow end-to-end).  Rows in other formats
+    pass through untouched."""
 
     def __init__(self, out_h: int, out_w: int):
         self.out_h, self.out_w = out_h, out_w
@@ -371,6 +381,11 @@ class ImageResizer:
             elif fmt == "png":
                 out.append(encode_png(resize_nearest(
                     decode_png(p), self.out_h, self.out_w)))
+            elif fmt == "jpeg":
+                img = resize_nearest(decode_jpeg(p), self.out_h,
+                                     self.out_w)
+                out.append(encode_jpeg(
+                    img if img.shape[2] > 1 else img[:, :, 0]))
             else:
                 out.append(p)
         i = batch.schema.get_field_index("payload")

@@ -178,3 +178,71 @@ def test_png_decode_resize_through_ray():
     for i, p in enumerate(out["payload"]):
         got = decode_png(p)
         assert np.array_equal(got, resize_nearest(decode_png(pngs[i]), 6, 6))
+
+def test_jpeg_roundtrip_statistical():
+    """encode_jpeg/decode_jpeg round-trip a smooth image within a tight
+    mean-abs-error bound (JPEG is lossy, unlike PNG's exact trip) across
+    color/gray, 4:4:4 / 4:2:0 subsampling, restart markers, and odd
+    (non-multiple-of-8/16) dimensions."""
+    from abslog_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    yy, xx = np.mgrid[0:37, 0:53].astype(np.float64)
+    img = np.clip(np.stack(
+        [128 + 100 * np.sin(xx / 17 + i) * np.cos(yy / 13 + i)
+         for i in range(3)], axis=2), 0, 255).astype(np.uint8)
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            dec = decode_jpeg(encode_jpeg(img, quality=90,
+                                          subsampling=sub,
+                                          restart_interval=ri))
+            assert dec.shape == (37, 53, 3)
+            mae = np.abs(dec.astype(float) - img.astype(float)).mean()
+            assert mae < (1.5 if sub == "444" else 3.0), (sub, ri, mae)
+    gray = decode_jpeg(encode_jpeg(img[:, :, 0], quality=95))
+    assert gray.shape == (37, 53, 1)
+    assert np.abs(gray[:, :, 0].astype(float) - img[:, :, 0]).mean() < 1.0
+    # flat color reconstructs exactly (all AC coefficients are zero)
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat)), flat)
+
+
+def test_jpeg_guards():
+    """Honest scope: non-JPEG and progressive (SOF2) payloads raise
+    ValueError rather than mis-decoding."""
+    from abslog_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    with pytest.raises(ValueError):
+        decode_jpeg(b"nope")
+    good = encode_jpeg(np.full((8, 8), 5, np.uint8))
+    assert good.count(b"\xff\xc0") >= 1
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(progressive)
+
+
+def test_jpeg_decode_resize_through_ray():
+    """JPEG rows decode for REAL through the actor-pool stage and resize
+    in place like PPM/PNG — the stub surface is MP4 only now."""
+    from abslog_ray.stages.jpeg import decode_jpeg, synth_jpeg
+    from abslog_ray.stages.multimodal import resize_images, resize_nearest
+    jpegs = [synth_jpeg(24, 16, seed=i) for i in range(4)]
+    t = pa.table({
+        "item_id": pa.array(np.arange(4, dtype=np.int64)),
+        "kind": pa.array(["image"] * 4),
+        "payload": pa.array(jpegs, pa.binary()),
+        "meta": pa.array(["{}"] * 4),
+    })
+    feats = decode_media(ray.data.from_arrow(t), fake=False,
+                         concurrency=(1, 2), batch_size=2).to_pandas()
+    feats = feats.sort_values("item_id", ignore_index=True)
+    for i, f in enumerate(feats["features"]):
+        img = decode_jpeg(jpegs[i])
+        assert f[0] == 1.0 and f[1] == img.shape[0] and f[2] == img.shape[1]
+        assert abs(f[4] - img[:, :, 0].astype(float).mean() / 255.0) < 1e-6
+    out = resize_images(ray.data.from_arrow(t), 8, 8,
+                        concurrency=(1, 2), batch_size=2).to_pandas()
+    out = out.sort_values("item_id", ignore_index=True)
+    for i, p in enumerate(out["payload"]):
+        got = decode_jpeg(p)
+        assert got.shape == (8, 8, 3)
+        want = resize_nearest(decode_jpeg(jpegs[i]), 8, 8)
+        # resized-then-re-encoded trip is lossy; assert closeness
+        assert np.abs(got.astype(float) - want.astype(float)).mean() < 4.0
