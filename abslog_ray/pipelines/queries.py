@@ -1513,6 +1513,173 @@ where round(list_cosine_similarity(a.emb, b.emb), 6) >= {tau}"""
 SQL_LSH_NEAR_DUP = _lsh_near_dup_sql()
 SQL_LSH_NEAR_DUP_PROBE = _lsh_near_dup_sql(probe_radius=1)
 
+IVF_STRIDE, IVF_NPROBE = 25, 4
+
+
+def q_ivf_ann(sf_dir: str):
+    """IVF-style ANN (the inverted-file scale path next to lsh_ann):
+    centroids = every vec_id ≡ 0 (mod 25) — a deterministic coarse
+    quantizer the DuckDB oracle reproduces at value level (assignment,
+    probe lists and ranking all checked; a k-means quantizer couldn't
+    be).  nprobe=4 of ~20 lists at sf0.01."""
+    import pyarrow.dataset as pads
+
+    from abslog_ray.stages.similarity import ivf_ann
+    qdf = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filter=pads.field("vec_id").isin(list(KNN_QUERY_IDS))).to_pandas()
+    return ivf_ann(_emb(sf_dir), KNN_QUERY_IDS, k=10,
+                   centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE,
+                   queries_df=qdf)
+
+
+SQL_IVF_ANN = f"""
+with e as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as emb
+  from embeddings),
+c as (select vec_id as cid, emb as cemb from e
+      where vec_id % {IVF_STRIDE} = 0),
+asg as (
+  select vec_id, cid from (
+    select e.vec_id, c.cid, row_number() over (
+      partition by e.vec_id
+      order by round(list_cosine_similarity(e.emb, c.cemb), 6) desc,
+               c.cid) as rn
+    from e, c) where rn = 1),
+q as (select vec_id as qid, emb as qe from e
+      where vec_id in {KNN_QUERY_IDS}),
+pr as (
+  select qid, cid from (
+    select q.qid, c.cid, row_number() over (
+      partition by q.qid
+      order by round(list_cosine_similarity(q.qe, c.cemb), 6) desc,
+               c.cid) as rn
+    from q, c) where rn <= {IVF_NPROBE}),
+s as (
+  select q.qid as query_id, e.vec_id as neighbor_id,
+    round(list_cosine_similarity(e.emb, q.qe), 6) as sim
+  from q
+  join pr on pr.qid = q.qid
+  join asg on asg.cid = pr.cid
+  join e on e.vec_id = asg.vec_id
+  where e.vec_id <> q.qid),
+r as (
+  select *, row_number() over (
+    partition by query_id order by sim desc, neighbor_id) as rank
+  from s)
+select query_id, neighbor_id, sim, cast(rank as bigint) as rank
+from r where rank <= 10"""
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination: train docs (doc_id % 10 ≠ 0) sharing a
+    word-3-gram with any test doc (doc_id % 10 = 0), with the count of
+    shared distinct shingles.  Test side deduped to one row per shingle
+    BEFORE the join — no quadratic pair expansion (see
+    dedup.contamination)."""
+    from abslog_ray.stages.dedup import contamination
+
+    def is_test(t: pa.Table, want: bool) -> pa.Table:
+        m = t["doc_id"].to_numpy(zero_copy_only=False) % 10 == 0
+        return t.filter(pa.array(m if want else ~m))
+
+    docs = _docs(sf_dir)
+    train = docs.map_batches(lambda t: is_test(t, False),
+                             batch_format="pyarrow")
+    test = docs.map_batches(lambda t: is_test(t, True),
+                            batch_format="pyarrow")
+    out = contamination(train, test, n=3)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_shared": pc.cast(t["n_shared"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_CONTAMINATION = r"""
+with toks as (
+  select doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') as t
+  from documents),
+sh as (
+  select doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) as g
+  from toks),
+tg as (select distinct g from sh where doc_id % 10 = 0)
+select s.doc_id, cast(count(*) as bigint) as n_shared
+from sh s join tg on s.g = tg.g
+where s.doc_id % 10 <> 0
+group by s.doc_id"""
+
+
+SAMPLE_PERMILLE, STRATUM_M = 200, 20
+_LCG_SQL = ("(1103515245 * ((1103515245 * ((doc_id + {seed}) % 2147483648)"
+            " + 12345) % 2147483648) + 12345) % 2147483648")
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 200‰ Bernoulli sample of documents (map-only,
+    resumable, cluster-shape-independent; the seeded LCG hash is
+    reproduced exactly in the oracle)."""
+    from abslog_ray.stages.sample import hash_sample
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"))
+    return hash_sample(docs, permille=SAMPLE_PERMILLE, id_col="doc_id")
+
+
+SQL_SAMPLE_DOCS = f"""
+select doc_id, text, lang, source, n_chars from documents
+where ({_LCG_SQL.format(seed=0)}) % 1000 < {SAMPLE_PERMILLE}"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Fixed-size uniform sample per language: the 20 docs with the
+    smallest (lcg_hash(doc_id), doc_id) per ``lang`` — equal-size strata
+    regardless of language skew, same seeded hash as sample_docs."""
+    from abslog_ray.stages.sample import stratified_sample
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"))
+    out = stratified_sample(docs, "lang", m=STRATUM_M, id_col="doc_id")
+
+    def canon(df):
+        return df[["doc_id", "text", "lang", "source", "n_chars"]]
+
+    return out.map_batches(canon, batch_format="pandas")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+select doc_id, text, lang, source, n_chars from (
+  select *, row_number() over (
+    partition by lang
+    order by ({_LCG_SQL.format(seed=0)}), doc_id) as rn
+  from documents) where rn <= {STRATUM_M}"""
+
+
+def q_rolling_hits(sf_dir: str):
+    """Trailing 5-minute moving average of per-(role, minute) totals —
+    the windowed-aggregate shape over the POST-AGGREGATE table (the
+    input to the rolling pass is keys-sized, the 100-TB-safe plan)."""
+    from abslog_ray.stages.aggregate import minute_totals
+    from abslog_ray.stages.windows import rolling_mean
+    return rolling_mean(minute_totals(_enriched(sf_dir)),
+                        key_cols="role", order_col="minute",
+                        value_cols=["total_hits", "total_bytes"],
+                        window=5)
+
+
+SQL_ROLLING_HITS = _PRELUDE + """
+, mt as (
+  select role, minute, count(*) as total_hits,
+    cast(sum(case when parsed then 0 else 1 end) as bigint) as invalid_hits,
+    cast(sum(bytes) as bigint) as total_bytes
+  from f group by role, minute)
+select role, minute, total_hits, invalid_hits, total_bytes,
+  avg(total_hits) over w as total_hits_roll,
+  avg(total_bytes) over w as total_bytes_roll
+from mt
+window w as (partition by role order by minute
+             rows between 4 preceding and current row)"""
+
 
 # ==========================================================================
 # registry
@@ -1574,4 +1741,10 @@ QUERIES = {
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
     "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
     "lsh_near_dup_probe": (q_lsh_near_dup_probe, SQL_LSH_NEAR_DUP_PROBE),
+    "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
+    # sampling + decontamination + windowed family
+    "contamination": (q_contamination, SQL_CONTAMINATION),
+    "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "rolling_hits": (q_rolling_hits, SQL_ROLLING_HITS),
 }

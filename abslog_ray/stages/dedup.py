@@ -785,3 +785,36 @@ def simhash_pairs(ds, k: int = 3, bands: int = 4, id_col="doc_id",
     # a pair found in several bands carries the same hamming — min-merge
     return hash_aggregate(cand, ["doc_a", "doc_b"],
                           {"hamming": ("hamming", "min")})
+
+
+def contamination(train_ds, test_ds, n: int = 3, id_col="doc_id",
+                  text_col="text", n_buckets: int = 32):
+    """Train/test n-gram overlap check (benchmark decontamination — the
+    step a training-data pipeline runs before shipping a corpus): for
+    every TRAIN doc sharing at least one distinct word-``n``-gram with
+    ANY test doc, emit (``id_col``, ``n_shared``) where ``n_shared``
+    counts the train doc's distinct shingles that appear anywhere in the
+    test corpus.
+
+    Scale shape: both sides shingle in one vectorized ``map_batches``
+    pass; the TEST side is reduced to ONE row per distinct shingle
+    (two-phase hash aggregate) BEFORE the join, so a boilerplate shingle
+    fans out only by its train-side document frequency — there is no
+    quadratic pair expansion anywhere, unlike jaccard_pairs, and hence
+    no df cap.  One keyed shuffle for the join (``bucket_join`` on
+    shingle), one for each aggregate; text never ships past the
+    shingling stage."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    tr = shingles(train_ds, n, id_col, text_col)
+    te = shingles(test_ds, n, id_col, text_col)
+    test_g = hash_aggregate(te, ["shingle"],
+                            {"n_test_docs": ("*", "count")},
+                            n_buckets=n_buckets)
+    test_g = test_g.map_batches(
+        lambda t: t.select(["shingle"]), batch_format="pyarrow")
+    hits = bucket_join(tr, test_g, on="shingle", how="inner",
+                       n_buckets=n_buckets)
+    return hash_aggregate(hits, [id_col], {"n_shared": ("*", "count")},
+                          n_buckets=n_buckets)

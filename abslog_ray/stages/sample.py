@@ -1,0 +1,75 @@
+"""Deterministic sampling operators (SURVEY §2 K4 is n/a for the
+reference — abs-log never samples — but a training-data pipeline does;
+driver brief lists sampling among the scale operations).
+
+Both samplers are DETERMINISTIC functions of the row's id, not of block
+layout, execution order, or a driver RNG:
+
+- ``hash_sample``: proportional p‰ sample — keep a row iff a seeded LCG
+  hash of its id lands under the threshold.  Map-only (no shuffle, no
+  state, no coordination); the same rows are kept on any cluster shape,
+  across resumes, and in the DuckDB oracle, which reproduces the integer
+  recurrence exactly (same device as the LSH planes).
+- ``stratified_sample``: the ``m`` rows with the SMALLEST hash per
+  stratum (equal-size strata regardless of skew).  Two-phase: each batch
+  pre-trims to its local m-per-stratum, then one keys-sized groupby
+  merges — the driver/final stage sees O(strata · m) rows, never the
+  table.
+
+The LCG is double-stepped and pre-reduced mod M so every product stays
+inside int64 for numpy (ids up to 2⁶³ are safe) and inside BIGINT for the
+SQL mirror.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from abslog_ray.stages.similarity import _LCG_A, _LCG_C, _LCG_M
+
+
+def lcg_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Seeded double-stepped LCG over the id: uniform in [0, 2³¹)."""
+    x = (ids.astype(np.int64) + np.int64(seed)) % _LCG_M
+    s1 = (_LCG_A * x + _LCG_C) % _LCG_M
+    return (_LCG_A * s1 + _LCG_C) % _LCG_M
+
+
+def hash_sample(ds, permille: int, id_col="doc_id", seed: int = 0):
+    """Keep each row iff lcg_hash(id) ‰ 1000 < ``permille`` — an exact,
+    resumable p‰ Bernoulli sample.  Pure map stage: scales linearly."""
+
+    def flt(t: pa.Table) -> pa.Table:
+        h = lcg_hash(t[id_col].to_numpy(zero_copy_only=False), seed)
+        return t.filter(pa.array(h % 1000 < permille))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def stratified_sample(ds, stratum_col: str, m: int, id_col="doc_id",
+                      seed: int = 0):
+    """The ``m`` rows with the smallest (lcg_hash(id), id) per stratum —
+    a uniform-without-replacement fixed-size sample per group, ties
+    impossible because id breaks them.  Per-batch pre-trim keeps at most
+    m rows per stratum in flight; the final per-stratum merge is
+    keys-sized."""
+
+    H = "__h"
+
+    def trim(t: pa.Table) -> pa.Table:
+        h = lcg_hash(t[id_col].to_numpy(zero_copy_only=False), seed)
+        t = t.append_column(H, pa.array(h))
+        df = t.to_pandas()
+        df = (df.sort_values([H, id_col], kind="mergesort")
+                .groupby(stratum_col, sort=False).head(m))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([H, id_col], kind="mergesort").head(m)
+        return df.drop(columns=[H])
+
+    trimmed = ds.map_batches(trim, batch_format="pyarrow")
+    return trimmed.groupby(stratum_col).map_groups(final,
+                                                   batch_format="pandas")

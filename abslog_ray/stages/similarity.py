@@ -421,3 +421,103 @@ def lsh_ann(ds, query_ids, k: int = 10, n_planes: int = 8, seed: int = 7,
     local = bds.groupby("bucket").map_groups(local_topk,
                                              batch_format="pandas")
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ivf_ann(ds, query_ids, k: int = 10, centroid_stride: int = 25,
+            nprobe: int = 4, id_col="vec_id", col="embedding",
+            queries_df=None, centroids_df=None):
+    """IVF-style approximate top-k: the inverted-file scale path the
+    driver brief names next to the LSH variant (``lsh_ann``).
+
+    Coarse quantizer: the "centroids" are a DETERMINISTIC subset of the
+    data itself — every vector whose id ≡ 0 (mod ``centroid_stride``) —
+    so the whole index (assignment + probe lists + search) is
+    reproducible in ANSI SQL and the DuckDB oracle checks it at value
+    level, which a k-means quantizer could never offer.  Each vector is
+    assigned to its nearest centroid by rounded cosine (ties → smallest
+    centroid id); a query probes only the ``nprobe`` centroid lists
+    nearest to it and ranks candidates by exact cosine.  Approximate by
+    construction: a true neighbor assigned to an unprobed list is missed
+    — ``nprobe`` is the recall knob.
+
+    Scale shape: centroids (O(N/stride); callers pick stride ≈ √N so the
+    matrix fits a worker heap, the standard IVF assumption) and query
+    vectors are broadcast ONCE via ``ray.put``; one ``map_batches`` pass
+    assigns + filters + ranks locally — candidate rows outside every
+    probe list cost one matmul row and nothing more — and a keys-sized
+    per-query merge finishes.  No shuffle of the embedding table.  On a
+    corpus laid out partitioned-by-list (the IVF storage layout), the
+    filter becomes partition pruning at the read.
+
+    ``queries_df`` / ``centroids_df``: prefetched (id, embedding) pandas
+    frames — e.g. from filter-pushed-down Parquet reads — to avoid
+    full-table scans just to pull a handful of rows; without them a
+    filter map fallback keeps any-Dataset behavior."""
+    import ray
+
+    def _fetch(ids_wanted):
+        arr = np.asarray(sorted(ids_wanted), dtype=np.int64)
+        return ds.map_batches(
+            lambda b: b.filter(pa.array(np.isin(
+                b[id_col].to_numpy(zero_copy_only=False), arr))),
+            batch_format="pyarrow").to_pandas()
+
+    if centroids_df is None:
+        centroids_df = ds.map_batches(
+            lambda b: b.filter(pa.array(
+                b[id_col].to_numpy(zero_copy_only=False)
+                % centroid_stride == 0)),
+            batch_format="pyarrow").to_pandas()
+    if queries_df is None:
+        queries_df = _fetch(query_ids)
+
+    c_order = np.argsort(centroids_df[id_col].to_numpy())
+    c_ids = centroids_df[id_col].to_numpy()[c_order]
+    C = _normalize(np.stack(
+        centroids_df[col].to_numpy()[c_order]).astype(np.float64))
+    q_order = np.argsort(queries_df[id_col].to_numpy())
+    q_ids = queries_df[id_col].to_numpy()[q_order]
+    Q = _normalize(np.stack(
+        queries_df[col].to_numpy()[q_order]).astype(np.float64))
+
+    # per-query probe lists: nprobe nearest centroids by (sim desc, cid
+    # asc) — tiny (q × n_centroids) driver-side matmul
+    qsims = np.round(Q @ C.T, 6)
+    probe = np.zeros((len(q_ids), len(c_ids)), dtype=bool)
+    for qi in range(len(q_ids)):
+        sel = np.lexsort((c_ids, -qsims[qi]))[:nprobe]
+        probe[qi, sel] = True
+    ref = ray.put((q_ids, Q, C, probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids_, Q_, C_, probe_ = ray.get(ref)
+        M = _normalize(_stack_embeddings(batch, col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # nearest-centroid assignment: argmax over rounded sims returns
+        # the FIRST max, i.e. the smallest centroid id (C_ sorted by id)
+        assign = np.argmax(np.round(M @ C_.T, 6), axis=1)
+        sims = np.round(M @ Q_.T, 6)                     # (n, q)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            cand = probe_[qi, assign] & (ids != q_ids_[qi])
+            cids, cs = ids[cand], sims[cand, qi]
+            sel = np.lexsort((cids, -cs))[:k]
+            out_q.append(np.full(len(sel), q_ids_[qi], dtype=np.int64))
+            out_n.append(cids[sel])
+            out_s.append(cs[sel])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True], kind="mergesort")
+        df = df.head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(merge,
+                                                batch_format="pandas")

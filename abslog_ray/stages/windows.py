@@ -84,3 +84,39 @@ def grouped_top_k(ds, group_cols, metric: str, k: int,
         return out
 
     return ds.groupby(KEY_BUCKET).map_groups(fn, batch_format="pandas")
+
+
+def rolling_mean(ds, key_cols, order_col: str, value_cols,
+                 window: int, n_buckets: int = 16):
+    """Trailing ``window``-row moving average of ``value_cols`` per
+    ``key_cols`` partition ordered by ``order_col`` (SQL: ``avg(v) over
+    (partition by key order by ord rows between window-1 preceding and
+    current row)``).
+
+    Intended for POST-AGGREGATE tables (e.g. minute_totals): the input
+    is keys-sized — bounded by (partitions × time buckets), not by raw
+    data — so each partition fits one ``map_groups`` call after a
+    bucket-hash shuffle on the key.  The rolling pass itself is a
+    vectorized cumsum difference, not a Python loop.  For raw-data-sized
+    windowed aggregates, aggregate to the window grain FIRST (the
+    flagship shape) and roll over the result — that is the distributed
+    plan a 100-TB input needs anyway."""
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    value_cols = ([value_cols] if isinstance(value_cols, str)
+                  else list(value_cols))
+    ds = ds.map_batches(add_key_bucket_fn(n_buckets, keys=key_cols),
+                        batch_format="pyarrow")
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[KEY_BUCKET])
+        df = df.sort_values(key_cols + [order_col], kind="mergesort",
+                            ignore_index=True)
+        g = df.groupby(key_cols, sort=False)
+        for c in value_cols:
+            df[c + "_roll"] = (g[c].rolling(window, min_periods=1).mean()
+                               .reset_index(drop=True))
+        return df
+
+    return ds.groupby(KEY_BUCKET).map_groups(roll, batch_format="pandas")

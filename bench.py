@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "lsh_ann", "lsh_near_dup", "simhash", "simhash_dupes", "langid",
     "approx_uniq_users", "purchase_attribution", "heavy_tokens",
     "token_rarity", "near_dedup_corpus", "dedup_clusters",
+    "status_breakdown", "distribution_hour_pattern", "lsh_near_dup_probe",
+    "ivf_ann", "contamination", "sample_docs", "stratified_sample",
+    "rolling_hits",
 ]
 
 
