@@ -173,8 +173,12 @@ def q_sketch_quantiles(sf_dir: str):
     sketch = build_summary(_enriched(sf_dir),
                            dataclasses.replace(cfg, exact_quantiles=False))
     keep = SUMMARY_KEYS + ["gap_p50", "gap_p95"]
+    # gap quantiles are int64 with GENUINE nulls (keys with no gaps), so
+    # the global int-width restore must use nullable Int64 for them
+    nulled = ["gap_p50", "gap_p95", "gap_p50_r", "gap_p95_r"]
     j = bucket_join(exact.select_columns(keep), sketch.select_columns(keep),
-                    on=SUMMARY_KEYS, how="inner", n_buckets=8)
+                    on=SUMMARY_KEYS, how="inner", n_buckets=8,
+                    null_ints=nulled)
 
     def check(t: pa.Table) -> pa.Table:
         ok = np.ones(t.num_rows, dtype=bool)

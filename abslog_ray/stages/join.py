@@ -48,8 +48,11 @@ def _int_restore_fn(int_cols: dict, nullable_cols: set):
     the 42-vs-42.0 bucket-hash split all over again).  Columns a join
     type can null-pad (``nullable_cols``) restore to the pandas nullable
     Int dtype in EVERY bucket; all other integer columns restore to
-    their declared numpy width unconditionally (original nulls in such a
-    column raise loudly rather than silently changing representation)."""
+    their declared numpy width unconditionally.  An integer column whose
+    SOURCE data carries nulls (Arrow int64 + null — e.g. a quantile over
+    an empty set) would make that unconditional cast raise: the caller
+    must name such columns via the join's ``null_ints`` parameter so the
+    nullable-Int decision stays global rather than per-bucket."""
 
     def restore(out: pd.DataFrame) -> pd.DataFrame:
         for c, dt in int_cols.items():
@@ -57,7 +60,15 @@ def _int_restore_fn(int_cols: dict, nullable_cols: set):
                 continue
             tgt = _PD_NULLABLE[dt] if c in nullable_cols else dt
             if str(out[c].dtype) != str(tgt):
-                out[c] = out[c].astype(tgt)
+                try:
+                    out[c] = out[c].astype(tgt)
+                except (pd.errors.IntCastingNaNError, ValueError) as exc:
+                    raise ValueError(
+                        f"join column {c!r} is integer-typed but contains "
+                        f"nulls from the source data; pass "
+                        f"null_ints=[{c!r}] to the join so every bucket "
+                        f"agrees on the nullable {_PD_NULLABLE[dt]} dtype"
+                    ) from exc
         return out
 
     return restore
@@ -84,7 +95,8 @@ def _align(df: pd.DataFrame, all_cols: list) -> pd.DataFrame:
 
 
 def bucket_join(left, right, on, how: str = "inner",
-                n_buckets: int = 32, suffixes=("", "_r")):
+                n_buckets: int = 32, suffixes=("", "_r"),
+                null_ints=()):
     """Partitioned hash join: tag → align → union → bucket shuffle →
     per-bucket vectorized merge.  Exactly one all-to-all exchange; skewed
     keys spread across buckets by the hash of the full key.
@@ -138,6 +150,10 @@ def bucket_join(left, right, on, how: str = "inner",
     nullable = {"inner": set(), "left": set(r_only),
                 "right": set(l_only),
                 "outer": set(l_only) | set(r_only)}[how]
+    # columns the CALLER knows carry source nulls (post-suffix names):
+    # the nullable-Int decision must be global, so it can't be inferred
+    # per bucket — see _int_restore_fn
+    nullable |= set(null_ints)
     restore = _int_restore_fn(int_cols, nullable)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -151,7 +167,8 @@ def bucket_join(left, right, on, how: str = "inner",
 
 
 def asof_join(left, right, by: str, on: str, how: str = "inner",
-              n_buckets: int = 32, suffixes=("", "_r")):
+              n_buckets: int = 32, suffixes=("", "_r"),
+              null_ints=()):
     """As-of join: for each left row, the most recent right row of the same
     ``by`` key with ``right.on <= left.on`` (backward direction, inclusive
     — the time-series "latest state at event time" lookup Ray Data lacks).
@@ -192,7 +209,8 @@ def asof_join(left, right, by: str, on: str, how: str = "inner",
     # per-column policy (see _int_restore_fn) keeps dtypes identical
     # across buckets whether or not a given bucket had unmatched rows
     _restore = _int_restore_fn(
-        int_cols, set(r_val_cols) if how != "inner" else set())
+        int_cols, (set(r_val_cols) if how != "inner" else set())
+        | set(null_ints))
 
     def tag(side):
         # Arrow-typed null padding: pandas None-fill upcasts columns to

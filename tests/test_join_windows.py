@@ -245,3 +245,29 @@ def test_asof_join_key_isolation_and_ties():
     got = got.sort_values(["u", "ts"], ignore_index=True)
     assert got["rv"].tolist()[:2] == [100, 100]     # inclusive + latest
     assert pd.isna(got["rv"].iloc[2])               # u=2: no click <= 15
+
+
+def test_bucket_join_source_null_ints_need_declaration():
+    """An int column with GENUINE source nulls (Arrow int64 + null — e.g.
+    a quantile over an empty set) crashes the unconditional inner-join
+    int restore with a clear remedy message; declaring it via
+    ``null_ints`` restores it as nullable Int64 in every bucket
+    (regression: sketch_quantiles, round 4)."""
+    import pyarrow as pa
+    import ray
+
+    l = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "q": pa.array([10, None, 30], pa.int64())})
+    r = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "rv": pa.array([7, 8, 9], pa.int64())})
+    with pytest.raises(ray.exceptions.RayTaskError,
+                       match="null_ints"):
+        bucket_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                    on="k", n_buckets=2).to_pandas()
+    got = bucket_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                      on="k", n_buckets=2,
+                      null_ints=["q"]).to_pandas()
+    assert str(got["q"].dtype) == "Int64"
+    got = got.sort_values("k", ignore_index=True)
+    assert got["q"].tolist()[0] == 10 and pd.isna(got["q"].iloc[1])
+    assert str(got["rv"].dtype) == "int64"
