@@ -348,3 +348,122 @@ class LangId:
             "lang_pred": pa.array(pred.astype(str)),
             "lang_score": pa.array(conf.astype(np.int64)),
         })
+
+
+# --- TF-IDF top terms (corpus-relative term weighting) ---------------------
+
+
+def doc_frequencies(ds, n_buckets: int = 16):
+    """Per-token DOCUMENT frequency (number of distinct docs containing the
+    token): per-batch distinct-(doc, token) pre-combine — one row per
+    distinct token per batch — then the two-phase hash aggregate.  A doc is
+    one row and rows never span batches, so summing per-batch distinct-doc
+    counts is exact."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens_with_parents(batch["text"])
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+        pair = np.unique(parents.astype(np.int64) * len(uniq) + codes)
+        return pa.table({
+            "token": pa.array(uniq, pa.string()),
+            "df": pa.array(np.bincount(pair % len(uniq),
+                                       minlength=len(uniq)).astype(np.int64)),
+        })
+
+    return hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["token"], {"df": ("df", "sum")},
+                          n_buckets=n_buckets)
+
+
+class TfidfTopTerms:
+    """Actor-pool scoring stage for tfidf_top_terms: the (token → df)
+    vocabulary is broadcast once (``ray.put``), bound per actor in
+    ``__init__``.  Per doc: tf(token) × ln(n_docs / df(token)), top-``k``
+    terms by (score desc, token asc) — the SQL ``row_number() over
+    (partition by doc order by s desc, tok)`` mirror, op-for-op
+    (``tf * ln(n * 1.0 / df)`` in float64)."""
+
+    def __init__(self, vocab_ref, n_docs: int, k: int):
+        import ray
+        tokens, dfs = ray.get(vocab_ref)
+        order = np.argsort(tokens)
+        self.tokens = tokens[order]
+        self.idf = np.log(np.float64(n_docs)
+                          / dfs[order].astype(np.float64))
+        # tokens past the vocab cap: every tail df <= the cap boundary's,
+        # so the boundary idf is a LOWER bound on theirs; exact whenever
+        # the corpus vocabulary fits the cap (always true in the oracle
+        # fixtures)
+        self.idf_tail = (np.log(np.float64(max(n_docs, 1)))
+                         if len(dfs) == 0
+                         else float(self.idf.min()))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        flat, parents = _tokens_with_parents(batch["text"])
+        empty = pa.table({
+            "doc_id": pa.array([], batch.schema.field("doc_id").type),
+            "term": pa.array([], pa.string()),
+            "tfidf": pa.array([], pa.float64()),
+            "rk": pa.array([], pa.int64()),
+        })
+        if len(flat) == 0:
+            return empty
+        codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+        key = parents.astype(np.int64) * len(uniq) + codes
+        pairs, tf = np.unique(key, return_counts=True)
+        prow = pairs // len(uniq)
+        pcode = (pairs % len(uniq)).astype(np.int64)
+        uniq = np.asarray(uniq, dtype=object)
+        if len(self.tokens) == 0:
+            idf_u = np.full(len(uniq), self.idf_tail)
+        else:
+            idx = np.clip(np.searchsorted(self.tokens, uniq),
+                          0, len(self.tokens) - 1)
+            idf_u = np.where(self.tokens[idx] == uniq,
+                             self.idf[idx], self.idf_tail)
+        s = tf.astype(np.float64) * idf_u[pcode]
+        toks = uniq[pcode]
+        order = np.lexsort((toks, -s, prow))   # doc, score desc, token asc
+        prow_o = prow[order]
+        counts = np.bincount(prow, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        rank = np.arange(len(order)) - np.repeat(starts, counts)
+        keep = rank < self.k
+        sel = order[keep]
+        return pa.table({
+            "doc_id": pa.array(ids[prow_o[keep]]),
+            "term": pa.array(toks[sel].astype(str)),
+            "tfidf": pa.array(np.round(s[sel], 6)),
+            "rk": pa.array((rank[keep] + 1).astype(np.int64)),
+        })
+
+
+def tfidf_top_terms(ds, k: int = 5, score_ds=None, n_docs: int | None = None,
+                    concurrency=(1, 4), vocab_cap: int = 1_000_000):
+    """Top-``k`` TF-IDF terms per document: pass 1 aggregates document
+    frequencies over ``ds``; pass 2 scores ``score_ds`` (default: ``ds``
+    re-read) against the broadcast vocabulary.  Same global-statistics →
+    broadcast → map-side-score shape (and the same top-``vocab_cap``
+    driver-pull bound) as token_rarity."""
+    import ray
+
+    from abslog_ray.stages.aggregate import distributed_top_k
+
+    if n_docs is None:
+        n_docs = ds.count()
+    dfs = doc_frequencies(ds)
+    top = distributed_top_k(dfs, vocab_cap, ["df", "token"],
+                            [True, False]).to_pandas()
+    vocab_ref = ray.put((top["token"].to_numpy(dtype=object),
+                         top["df"].to_numpy(dtype=np.int64)))
+    target = score_ds if score_ds is not None else ds
+    return target.map_batches(
+        TfidfTopTerms, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_args=(vocab_ref, int(n_docs), int(k)))

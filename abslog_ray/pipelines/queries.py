@@ -943,6 +943,36 @@ left join tf f on f.tok = tk.tok
 group by d.doc_id"""
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document: document frequencies via the
+    two-phase distinct-(doc, token) aggregate, vocabulary broadcast into
+    an actor-pool scorer, per-doc top-k fully vectorized (lexsort +
+    segmented rank).  n_docs comes from parquet metadata (no scan)."""
+    from abslog_ray.functions.text import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir), k=5, score_ds=_docs(sf_dir))
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+with tk as (
+  select doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as tok
+  from documents),
+tf as (select doc_id, tok, count(*) as tf from tk group by doc_id, tok),
+df as (select tok, count(distinct doc_id) as df from tk group by tok),
+n as (select count(*) as n from documents),
+scored as (
+  select tf.doc_id, tf.tok,
+         tf.tf * ln((select n from n) * 1.0 / df.df) as s
+  from tf join df on df.tok = tf.tok),
+rk as (
+  select doc_id, tok, s,
+         row_number() over (partition by doc_id
+                            order by s desc, tok) as rk
+  from scored)
+select doc_id, tok as term, round(s, 6) as tfidf, rk
+from rk where rk <= 5"""
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition signal: 1 − distinct/total word-3-grams
     per doc (0 when the doc has < 3 tokens) — flags boilerplate and
@@ -1575,6 +1605,25 @@ select query_id, neighbor_id, sim, cast(rank as bigint) as rank
 from r where rank <= 10"""
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding table (class prototype /
+    cluster seed): vector-valued mean via two-phase partial-sum
+    aggregate — only labels × dim pre-reduced rows shuffle."""
+    from abslog_ray.stages.similarity import label_centroids
+    return label_centroids(_emb(sf_dir))
+
+
+SQL_LABEL_CENTROIDS = """
+with x as (
+  select label,
+         unnest(range(len(embedding))) as dim,
+         unnest(list_transform(embedding, v -> cast(v as double))) as v
+  from embeddings)
+select label, dim, round(avg(v), 6) as centroid,
+       count(*) as n
+from x group by label, dim"""
+
+
 def q_contamination(sf_dir: str):
     """Benchmark decontamination: train docs (doc_id % 10 ≠ 0) sharing a
     word-3-gram with any test doc (doc_id % 10 = 0), with the count of
@@ -1727,6 +1776,7 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "quality_filtered": (q_quality_filtered, SQL_QUALITY_FILTERED),
     "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
     "redacted": (q_redacted, SQL_REDACTED),
     "chunks": (q_chunks, SQL_CHUNKS),
@@ -1746,6 +1796,7 @@ QUERIES = {
     "lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
     "lsh_near_dup_probe": (q_lsh_near_dup_probe, SQL_LSH_NEAR_DUP_PROBE),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     # sampling + decontamination + windowed family
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),

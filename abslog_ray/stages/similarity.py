@@ -521,3 +521,52 @@ def ivf_ann(ds, query_ids, k: int = 10, centroid_stride: int = 25,
     local = ds.map_batches(local_topk, batch_format="pyarrow")
     return local.groupby("query_id").map_groups(merge,
                                                 batch_format="pandas")
+
+
+def label_centroids(ds, label_col="label", col="embedding",
+                    n_buckets: int = 8):
+    """Per-label centroid vectors (the embedding-space class-prototype /
+    cluster-seed aggregate).  Vector-valued mean as a two-phase aggregate:
+    each batch emits one (label, dim, partial_sum, partial_count) row per
+    label × dimension (np.add.at segmented sum — no Python per row), the
+    bucket-hashed merge sums partials, and the mean is one division at
+    finalize.  Only labels × dim pre-reduced rows ever shuffle, so the
+    shape is flat in corpus size.
+
+    Float caveat (same accepted class as knn): partial sums accumulate in
+    a different order than the oracle's sequential sum; round-6 output
+    absorbs the ~1e-13 relative difference."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        M = _stack_embeddings(batch, col)          # (n, D) float64
+        codes, uniq = pd.factorize(labels, sort=False)
+        sums = np.zeros((len(uniq), M.shape[1]), np.float64)
+        np.add.at(sums, codes, M)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        d = M.shape[1]
+        return pa.table({
+            label_col: pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, d)),
+        })
+
+    agg = hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                         [label_col, "dim"],
+                         {"s": ("s", "sum"), "n": ("n", "sum")},
+                         n_buckets=n_buckets)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            label_col: batch[label_col],
+            "dim": batch["dim"],
+            "centroid": pa.array(np.round(s / n, 6)),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

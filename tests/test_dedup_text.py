@@ -699,3 +699,64 @@ def test_redaction_engine_equals_sql(tmp_path):
     want = con.execute(SQL_REDACTED).df().sort_values("doc_id",
                                                       ignore_index=True)
     assert got["clean_text"].tolist() == want["clean_text"].tolist()
+
+
+def test_tfidf_top_terms_matches_pandas():
+    """tfidf_top_terms == a straight pandas tf*ln(N/df) top-k on a tiny
+    corpus, including the (score desc, token asc) tie-break."""
+    from abslog_ray.functions.text import tfidf_top_terms
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "apple banana apple cherry",
+            "banana banana date",
+            "apple date date date",
+            "cherry cherry cherry cherry",
+            "",                       # token-less doc: no output rows
+            "elder elder fig fig",    # tied scores -> token asc order
+        ],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = tfidf_top_terms(ds, k=2).to_pandas() \
+        .sort_values(["doc_id", "rk"], ignore_index=True)
+
+    toks = df["text"].str.split().explode().dropna()
+    toks = toks[toks != ""]
+    tf = toks.groupby([toks.index, toks]).size()
+    dfreq = toks.groupby(toks).apply(lambda s: s.index.nunique())
+    n = len(df)
+    rows = []
+    for (i, tok), c in tf.items():
+        rows.append((df.loc[i, "doc_id"], tok,
+                     c * np.log(np.float64(n) / dfreq[tok])))
+    exp = pd.DataFrame(rows, columns=["doc_id", "term", "s"])
+    exp = exp.sort_values(["doc_id", "s", "term"],
+                          ascending=[True, False, True])
+    exp["rk"] = exp.groupby("doc_id").cumcount() + 1
+    exp = exp[exp["rk"] <= 2].reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["rk"].tolist() == exp["rk"].tolist()
+    np.testing.assert_allclose(got["tfidf"], np.round(exp["s"], 6),
+                               atol=1e-9)
+    assert 4 not in got["doc_id"].values
+
+
+def test_label_centroids_matches_numpy():
+    from abslog_ray.stages.similarity import label_centroids
+    rng = np.random.default_rng(11)
+    n, d = 40, 5
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"label": labels,
+                       "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = label_centroids(ds).to_pandas() \
+        .sort_values(["label", "dim"], ignore_index=True)
+    exp = np.stack([vecs[labels == l].astype(np.float64).mean(axis=0)
+                    for l in range(3)])
+    np.testing.assert_allclose(
+        got["centroid"].to_numpy().reshape(3, d), np.round(exp, 6),
+        atol=1e-6)
+    assert got["n"].to_numpy().reshape(3, d)[:, 0].sum() == n
+    assert got["n"].dtype == np.int64
