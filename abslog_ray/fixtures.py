@@ -17,6 +17,7 @@ bucket shuffle and the salted aggregate respectively (SURVEY.md §4.2).
 
 from __future__ import annotations
 
+import glob
 import os
 
 import numpy as np
@@ -233,4 +234,34 @@ def fixture_parquet(tier: str = "t1", seed: int = 42,
             pq.write_table(chunk, os.path.join(out, f"part-{i:05d}.parquet"))
     with open(done, "w") as f:
         f.write(str(n))
+    return out
+
+
+def fixture_text_format(tier: str = "t1", seed: int = 42,
+                        format: str = "jsonl", num_files: int = 8) -> str:
+    """Convert the cached parquet fixture into JSONL / CSV / TSV fragments
+    (once) — the multi-format source tests and demos read these.  ``ts``
+    rides as epoch MICROSECONDS (the sources' interchange contract)."""
+    import pandas as pd
+
+    assert format in ("jsonl", "csv", "tsv")
+    src = fixture_parquet(tier, seed, num_files)
+    out = os.path.join(FIXTURE_CACHE, f"transcripts_{tier}_s{seed}_{format}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    ext = {"jsonl": "jsonl", "csv": "csv", "tsv": "tsv"}[format]
+    for frag in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        df = pq.read_table(frag).to_pandas()
+        df["ts"] = df["ts"].astype("int64")        # datetime64[us] → µs
+        dst = os.path.join(
+            out, os.path.basename(frag).replace(".parquet", f".{ext}"))
+        if format == "jsonl":
+            df.to_json(dst, orient="records", lines=True)
+        else:
+            df.to_csv(dst, index=False,
+                      sep="\t" if format == "tsv" else ",")
+    with open(done, "w") as f:
+        f.write(tier)
     return out

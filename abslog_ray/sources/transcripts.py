@@ -149,3 +149,72 @@ def transcripts_from_events(events_path: str, n_buckets: int = 16):
         return _assign_turn_idx(df.drop(columns=[BUCKET_COL]))
 
     return ds.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+# --- multi-format fan-in (SURVEY.md §2 S2) ---------------------------------
+# The reference tails plain-text log files; the graft's canonical fragment
+# is Parquet, but real transcript dumps also arrive as JSONL / CSV / TSV.
+# All formats normalize to the SAME canonical schema at the source so every
+# downstream stage is format-agnostic.  Interchange contract: ``ts`` rides
+# as epoch MICROSECONDS (int64) in the text formats (lossless vs the
+# parquet timestamp[us]); turn_idx is int32.
+
+_CANON_TYPES = {
+    "conv_id": pa.string(),
+    "turn_idx": pa.int32(),
+    "role": pa.string(),
+    "text": pa.string(),
+    "tool": pa.string(),
+    "ts": pa.timestamp("us"),
+}
+
+
+def _coerce_transcript_batch(batch: pa.Table) -> pa.Table:
+    """Normalize a JSON/CSV-read batch to the canonical transcript schema
+    (epoch-µs ints → timestamp[us], int64 → int32 turn_idx, null-typed
+    all-null columns → typed nulls)."""
+    cols = {}
+    for name in TRANSCRIPT_COLUMNS:
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        want = _CANON_TYPES[name]
+        if name == "ts" and not pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64()).cast(want)
+        elif col.type != want:
+            col = col.cast(want)
+        cols[name] = col
+    return pa.table(cols)
+
+
+def read_transcripts_jsonl(paths, **kwargs):
+    """Newline-delimited JSON transcript fragments → canonical schema."""
+    ds = ray.data.read_json(paths, **kwargs)
+    return ds.map_batches(_coerce_transcript_batch, batch_format="pyarrow")
+
+
+def read_transcripts_csv(paths, delimiter: str = ",", **kwargs):
+    """CSV/TSV transcript fragments → canonical schema.  ``delimiter='\\t'``
+    reads the TSV log-line form (one turn per line — the closest analogue
+    of the reference's raw access-log input)."""
+    from pyarrow import csv as pacsv
+    parse_options = pacsv.ParseOptions(delimiter=delimiter)
+    ds = ray.data.read_csv(paths, parse_options=parse_options, **kwargs)
+    return ds.map_batches(_coerce_transcript_batch, batch_format="pyarrow")
+
+
+_READERS = {"parquet": read_transcripts,
+            "jsonl": read_transcripts_jsonl,
+            "csv": read_transcripts_csv}
+
+
+def read_transcripts_any(paths, format: str = "parquet", **kwargs):
+    """Format-dispatching fan-in: one call site for parquet/jsonl/csv
+    fragment mixes (pipelines.run uses parquet directly; this is the
+    public multi-format entry)."""
+    if format not in _READERS:
+        raise ValueError(f"unknown transcript format {format!r}; "
+                         f"one of {sorted(_READERS)}")
+    if format == "parquet":
+        return read_transcripts(paths, **kwargs)
+    return _READERS[format](paths, **kwargs)

@@ -1,0 +1,60 @@
+"""Multi-format transcript sources (SURVEY.md §2 S2): JSONL / CSV / TSV
+fragments must land on the canonical schema and carry row-identical data
+vs the parquet source."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from abslog_ray.fixtures import fixture_parquet, fixture_text_format
+from abslog_ray.sources.transcripts import (
+    TRANSCRIPT_COLUMNS,
+    read_transcripts,
+    read_transcripts_any,
+    read_transcripts_csv,
+    read_transcripts_jsonl,
+)
+
+
+def _frame(ds) -> pd.DataFrame:
+    df = ds.to_pandas()[TRANSCRIPT_COLUMNS]
+    return df.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def parquet_df(ray_session):
+    return _frame(read_transcripts(fixture_parquet("t1")))
+
+
+def _paths(d, ext):
+    return sorted(glob.glob(os.path.join(d, f"*.{ext}")))
+
+
+def test_jsonl_source_matches_parquet(ray_session, parquet_df):
+    ds = read_transcripts_jsonl(_paths(fixture_text_format("t1"), "jsonl"))
+    df = _frame(ds)
+    assert [str(t) for t in df.dtypes] == \
+        [str(t) for t in parquet_df.dtypes]
+    pd.testing.assert_frame_equal(df, parquet_df)
+
+
+def test_csv_source_matches_parquet(ray_session, parquet_df):
+    d = fixture_text_format("t1", format="csv")
+    df = _frame(read_transcripts_csv(_paths(d, "csv")))
+    pd.testing.assert_frame_equal(df, parquet_df)
+
+
+def test_tsv_source_matches_parquet(ray_session, parquet_df):
+    d = fixture_text_format("t1", format="tsv")
+    df = _frame(read_transcripts_csv(_paths(d, "tsv"), delimiter="\t"))
+    pd.testing.assert_frame_equal(df, parquet_df)
+
+
+def test_read_any_dispatch(ray_session, parquet_df):
+    d = fixture_text_format("t1")
+    df = _frame(read_transcripts_any(_paths(d, "jsonl"), format="jsonl"))
+    pd.testing.assert_frame_equal(df, parquet_df)
+    with pytest.raises(ValueError, match="unknown transcript format"):
+        read_transcripts_any(d, format="xml")
