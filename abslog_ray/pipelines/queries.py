@@ -685,6 +685,80 @@ from orders join customer on o_custkey = c_custkey
 group by c_mktsegment order by c_mktsegment"""
 
 
+Q3_CUTOFF = "1998-01-01"
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """TPC-H Q3 shape — the 3-way join chain: customer (segment filter)
+    ⋈ orders (date filter) ⋈ lineitem (date filter, revenue
+    PRE-AGGREGATED per orderkey before the join so only one row per
+    order crosses the shuffle), then a distributed top-10 by revenue.
+    Both date filters push down into the Parquet reads."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from abslog_ray.stages.aggregate import distributed_top_k, hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    cutoff = datetime.datetime(1998, 1, 1)
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"l_orderkey": "o_orderkey"}),
+            preserve_index=False)
+
+    rev = hash_aggregate(li.map_batches(rev_partial, batch_format="pyarrow"),
+                         ["o_orderkey"], {"rev": ("rev", "sum")},
+                         n_buckets=8)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cutoff)
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING")
+    cust = cust.map_batches(lambda t: t.rename_columns(["o_custkey"]),
+                            batch_format="pyarrow")
+    oc = bucket_join(orders, cust, on="o_custkey", how="inner", n_buckets=8)
+    joined = bucket_join(oc.drop_columns(["o_custkey"]), rev,
+                         on="o_orderkey", how="inner", n_buckets=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("rev"), "revenue",
+            pc.round(t["rev"], 2))
+
+    top = distributed_top_k(joined.map_batches(fin, batch_format="pyarrow"),
+                            10, ["revenue", "o_orderkey"], [True, False])
+    return top.to_pandas()[["o_orderkey", "o_orderdate", "o_orderpriority",
+                            "revenue"]]
+
+
+SQL_TOP_REVENUE_ORDERS = f"""
+with r as (
+  select o_orderkey, o_orderdate, o_orderpriority,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+  from customer
+  join orders on c_custkey = o_custkey
+  join lineitem on l_orderkey = o_orderkey
+  where c_mktsegment = 'BUILDING'
+    and o_orderdate < timestamp '{Q3_CUTOFF}'
+    and l_shipdate > timestamp '{Q3_CUTOFF}'
+  group by o_orderkey, o_orderdate, o_orderpriority)
+select * from r order by revenue desc, o_orderkey limit 10"""
+
+
 SESSION_TIMEOUT_US = 600_000_000  # 10 minutes
 
 
@@ -1624,6 +1698,66 @@ select label, dim, round(avg(v), 6) as centroid,
 from x group by label, dim"""
 
 
+def q_nearest_centroid(sf_dir: str):
+    """Nearest-centroid assignment (k-means E-step) as a confusion-count
+    table — all-integer output (hash-exact), centroid matrix broadcast
+    once, one matmul per batch."""
+    from abslog_ray.stages.similarity import nearest_centroid_counts
+    return nearest_centroid_counts(_emb(sf_dir))
+
+
+SQL_NEAREST_CENTROID = """
+with x as (
+  select label,
+         unnest(range(len(embedding))) as dim,
+         unnest(list_transform(embedding, v -> cast(v as double))) as v
+  from embeddings),
+c as (select label as clabel, dim, round(avg(v), 6) as cv
+      from x group by clabel, dim),
+cl as (select clabel, list(cv order by dim) as cvec from c group by clabel),
+s as (
+  select e.vec_id, e.label, cl.clabel,
+    list_cosine_similarity(
+      list_transform(e.embedding, v -> cast(v as double)), cl.cvec) as sim
+  from embeddings e cross join cl),
+a as (
+  select vec_id, label, clabel,
+    row_number() over (partition by vec_id
+                       order by sim desc, clabel) as rn
+  from s)
+select label, clabel as assigned, count(*) as n
+from a where rn = 1 group by label, assigned"""
+
+
+def q_user_cumulative(sf_dir: str):
+    """Running row_number + running exact-cents sum per user over the
+    events stream (the ``sum(...) over (partition by user order by ts)``
+    window): integer cents make the cumulative sum bit-exact under any
+    execution order."""
+    from abslog_ray.stages.windows import cumulative_over_key
+    ev = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "cents", pa.array(np.round(v * 100).astype(np.int64)))
+
+    ds = ev.map_batches(cents, batch_format="pyarrow")
+    return cumulative_over_key(ds, "user_id", ["ts", "event_id"], "cents",
+                               out_seq="seq", out_cum="cum_value_cents")
+
+
+SQL_USER_CUMULATIVE = """
+select user_id, ts, event_id,
+  cast(row_number() over w as bigint) as seq,
+  cast(sum(cast(round(value * 100) as bigint)) over w as bigint)
+    as cum_value_cents
+from events
+window w as (partition by user_id order by ts, event_id
+             rows between unbounded preceding and current row)"""
+
+
 def q_contamination(sf_dir: str):
     """Benchmark decontamination: train docs (doc_id % 10 ≠ 0) sharing a
     word-3-gram with any test doc (doc_id % 10 = 0), with the count of
@@ -1764,6 +1898,8 @@ QUERIES = {
     "q1_lineitem": (q_q1_lineitem, SQL_Q1_LINEITEM),
     # joins / windows / grouped top-k
     "revenue_by_segment": (q_revenue_by_segment, SQL_REVENUE_BY_SEGMENT),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "user_cumulative": (q_user_cumulative, SQL_USER_CUMULATIVE),
     "sessions": (q_sessions, SQL_SESSIONS),
     "top_events_per_user": (q_top_events_per_user, SQL_TOP_EVENTS_PER_USER),
     "rich_user_events": (q_rich_user_events, SQL_RICH_USER_EVENTS),
@@ -1797,6 +1933,7 @@ QUERIES = {
     "lsh_near_dup_probe": (q_lsh_near_dup_probe, SQL_LSH_NEAR_DUP_PROBE),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "nearest_centroid": (q_nearest_centroid, SQL_NEAREST_CENTROID),
     # sampling + decontamination + windowed family
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),

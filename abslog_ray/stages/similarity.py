@@ -570,3 +570,47 @@ def label_centroids(ds, label_col="label", col="embedding",
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def nearest_centroid_counts(ds, label_col="label", col="embedding",
+                            n_buckets: int = 4):
+    """Nearest-centroid assignment (one k-means E-step over the label
+    centroids) reduced to a CONFUSION-COUNT table (true label × assigned
+    label × n) — all-integer output, so the result is hash-exact.
+
+    The centroid matrix is labels × dim (bounded, NOT corpus-sized): it is
+    pulled once, normalized, broadcast via ``ray.put``, and every batch
+    does one matmul against it; per-batch counts pre-combine before the
+    keys-sized final aggregate.  Ties (exactly equal similarity) assign
+    the lowest label, mirroring the SQL ``order by sim desc, clabel``."""
+    import ray as _ray
+
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    cdf = label_centroids(ds, label_col, col).to_pandas()
+    labels = np.sort(cdf[label_col].unique())
+    d = int(cdf["dim"].max()) + 1
+    pos = {l: i for i, l in enumerate(labels)}
+    M = np.zeros((len(labels), d), np.float64)
+    M[cdf[label_col].map(pos).to_numpy(), cdf["dim"].to_numpy()] = \
+        cdf["centroid"].to_numpy()
+    ref = _ray.put((labels, _normalize(M)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lbl_t = batch[label_col].type
+        lab, Mn = _ray.get(ref)
+        E = _normalize(_stack_embeddings(batch, col))
+        assigned = lab[np.argmax(E @ Mn.T, axis=1)]
+        true = batch[label_col].to_numpy(zero_copy_only=False)
+        key = (pd.Index(true).map(pos).to_numpy() * len(lab)
+               + pd.Index(assigned).map(pos).to_numpy())
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            label_col: pa.array(lab[uniq // len(lab)], lbl_t),
+            "assigned": pa.array(lab[uniq % len(lab)], lbl_t),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    return hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          [label_col, "assigned"], {"n": ("n", "sum")},
+                          n_buckets=n_buckets)

@@ -120,3 +120,27 @@ def rolling_mean(ds, key_cols, order_col: str, value_cols,
         return df
 
     return ds.groupby(KEY_BUCKET).map_groups(roll, batch_format="pandas")
+
+
+def cumulative_over_key(ds, key_col: str, order_cols, value_col: str,
+                        out_seq: str = "seq", out_cum: str = "cum",
+                        n_buckets: int = 32):
+    """Running row_number + running integer sum per key (the
+    ``sum(...) over (partition by key order by ... rows unbounded
+    preceding)`` window shape).  ``value_col`` must already be an exact
+    integer column — the cumulative sum is then bit-exact regardless of
+    execution order.  Bucket-hash shuffle on ``key_col`` (keys stay
+    whole), vectorized sort + groupby-cumsum inside each bucket."""
+    ds = ds.map_batches(add_bucket_fn(key_col, n_buckets),
+                        batch_format="pyarrow")
+    order = [key_col, *order_cols]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            order, kind="mergesort", ignore_index=True)
+        g = df.groupby(key_col, sort=False)
+        df[out_seq] = (g.cumcount() + 1).astype(np.int64)
+        df[out_cum] = g[value_col].cumsum().astype(np.int64)
+        return df.drop(columns=[value_col])
+
+    return ds.groupby(BUCKET_COL).map_groups(fn, batch_format="pandas")

@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "token_rarity", "near_dedup_corpus", "dedup_clusters",
     "status_breakdown", "distribution_hour_pattern", "lsh_near_dup_probe",
     "ivf_ann", "contamination", "sample_docs", "stratified_sample",
-    "rolling_hits",
+    "rolling_hits", "tfidf_top_terms", "label_centroids",
 ]
 
 

@@ -271,3 +271,48 @@ def test_bucket_join_source_null_ints_need_declaration():
     got = got.sort_values("k", ignore_index=True)
     assert got["q"].tolist()[0] == 10 and pd.isna(got["q"].iloc[1])
     assert str(got["rv"].dtype) == "int64"
+
+
+def test_cumulative_over_key_matches_pandas(ray_session):
+    import ray.data
+    from abslog_ray.stages.windows import cumulative_over_key
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": rng.integers(0, 100, n).astype(np.int64),
+        "user_id": rng.integers(0, 17, n).astype(np.int64),
+        "cents": rng.integers(0, 10_000, n).astype(np.int64),
+    })
+    got = cumulative_over_key(
+        ray.data.from_pandas(df).repartition(5), "user_id",
+        ["ts", "event_id"], "cents", out_cum="cum", n_buckets=4
+    ).to_pandas().sort_values(["user_id", "seq"], ignore_index=True)
+    exp = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    exp["seq"] = exp.groupby("user_id").cumcount() + 1
+    exp["cum"] = exp.groupby("user_id")["cents"].cumsum()
+    pd.testing.assert_frame_equal(
+        got[["user_id", "ts", "event_id", "seq", "cum"]],
+        exp[["user_id", "ts", "event_id", "seq", "cum"]])
+
+
+def test_nearest_centroid_counts_planted(ray_session):
+    """Three well-separated planted clusters: every vector must assign to
+    its own label's centroid and the confusion matrix be diagonal."""
+    import ray.data
+    from abslog_ray.stages.similarity import nearest_centroid_counts
+    rng = np.random.default_rng(9)
+    centers = np.eye(3, 8) * 10.0
+    rows = []
+    for lbl in range(3):
+        for _ in range(20 + lbl):
+            rows.append((np.int32(lbl),
+                         (centers[lbl] + rng.normal(scale=0.05, size=8))
+                         .astype(np.float32)))
+    df = pd.DataFrame({"label": [r[0] for r in rows],
+                       "embedding": [r[1] for r in rows]})
+    got = nearest_centroid_counts(
+        ray.data.from_pandas(df).repartition(4)
+    ).to_pandas().sort_values(["label", "assigned"], ignore_index=True)
+    assert (got["label"] == got["assigned"]).all()
+    assert got["n"].tolist() == [20, 21, 22]
