@@ -467,3 +467,34 @@ def tfidf_top_terms(ds, k: int = 5, score_ds=None, n_docs: int | None = None,
     return target.map_batches(
         TfidfTopTerms, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_args=(vocab_ref, int(n_docs), int(k)))
+
+
+def bigram_counts(ds, n_buckets: int = 16):
+    """Corpus-wide word-bigram occurrence counts (n-gram LM / collocation
+    prep): per-batch explode to within-doc adjacent token pairs (pairs
+    never cross document boundaries), factorize+bincount pre-combine —
+    one row per distinct bigram per batch — then the two-phase hash
+    aggregate, so only pre-reduced (bigram, count) rows shuffle."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens_with_parents(batch["text"])
+        if len(flat) >= 2:
+            same = parents[1:] == parents[:-1]
+            pairs = np.char.add(np.char.add(
+                flat[:-1][same].astype(str), " "),
+                flat[1:][same].astype(str))
+        else:
+            pairs = np.array([], dtype=str)
+        if len(pairs) == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(pd.Series(pairs), sort=False)
+        return pa.table({
+            "bigram": pa.array(uniq, pa.string()),
+            "c": pa.array(np.bincount(codes).astype(np.int64)),
+        })
+
+    return hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["bigram"], {"c": ("c", "sum")},
+                          n_buckets=n_buckets)

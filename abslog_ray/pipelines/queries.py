@@ -1869,6 +1869,218 @@ window w as (partition by role order by minute
 
 
 # ==========================================================================
+# round-4 breadth: conversation rollups, transitions, join surfaces,
+# histogram, bigrams, argmax-per-key
+# ==========================================================================
+
+
+def q_conversation_stats(sf_dir: str):
+    """Per-conversation rollup (turns, distinct tools, text bytes,
+    duration): text reduced to its byte length BEFORE the shuffle, one
+    bucket-hash exchange on conv_id (conversations stay whole), all
+    stats vectorized inside the bucket."""
+    from abslog_ray.stages.gaps import BUCKET_COL, add_bucket_fn
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "tool": t["tool"],
+            "ts": t["ts"],
+            "bytes": pc.cast(pc.binary_length(t["text"]), pa.int64()),
+        })
+
+    ds = _tp(sf_dir).map_batches(project, batch_format="pyarrow")
+    ds = ds.map_batches(add_bucket_fn("conv_id", 16),
+                        batch_format="pyarrow")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop(columns=[BUCKET_COL]).groupby("conv_id", sort=False)
+        out = g.agg(n_turns=("tool", "size"),
+                    n_tools=("tool", "nunique"),
+                    text_bytes=("bytes", "sum"),
+                    ts_min=("ts", "min"), ts_max=("ts", "max")).reset_index()
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["n_tools"] = out["n_tools"].astype(np.int64)
+        out["text_bytes"] = out["text_bytes"].astype(np.int64)
+        out["duration_us"] = (out["ts_max"] - out["ts_min"]) \
+            .dt.total_seconds().mul(1_000_000).round().astype(np.int64)
+        return out.drop(columns=["ts_min", "ts_max"])
+
+    return ds.groupby(BUCKET_COL).map_groups(fn, batch_format="pandas")
+
+
+SQL_CONVERSATION_STATS = _PRELUDE + """
+select conv_id, count(*) as n_turns,
+  cast(count(distinct tool) as bigint) as n_tools,
+  cast(sum(strlen(text)) as bigint) as text_bytes,
+  epoch_us(max(ts)) - epoch_us(min(ts)) as duration_us
+from t group by conv_id"""
+
+
+def q_tool_transitions(sf_dir: str):
+    """Markov transition matrix of tools within conversations (the
+    ``lead() over (partition by conv_id order by turn_idx)`` pair count
+    — which tool follows which)."""
+    from abslog_ray.stages.windows import key_transitions
+    ds = _tp(sf_dir).drop_columns(["text", "role", "ts"])
+    return key_transitions(ds, "conv_id", ["turn_idx"], "tool",
+                           out_from="from_tool", out_to="to_tool",
+                           n_buckets=16)
+
+
+SQL_TOOL_TRANSITIONS = _PRELUDE + """
+, p as (
+  select tool, lead(tool) over (
+      partition by conv_id order by turn_idx) as next_tool
+  from t)
+select tool as from_tool, next_tool as to_tool, count(*) as n
+from p where next_tool is not null group by 1, 2"""
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT-join surface: every customer with its order count, zero for
+    customers with no orders — orders pre-aggregated to one row per
+    custkey before the join, null-padded counts filled AFTER (exercises
+    the typed-null / nullable-Int padding path end-to-end)."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    cnt = hash_aggregate(
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey"]),
+        ["o_custkey"], {"n_orders": ("*", "count")}, n_buckets=8)
+    cnt = cnt.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "n_orders"]),
+        batch_format="pyarrow")
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+    j = bucket_join(cust, cnt, on="c_custkey", how="left", n_buckets=8)
+
+    def fill(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0)
+        t = t.set_column(t.schema.get_field_index("n_orders"),
+                         "n_orders", n)
+        # drop the pandas schema metadata the nullable-Int join padding
+        # left behind, or to_pandas() round-trips n_orders as Int64
+        return t.replace_schema_metadata(None)
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+select c_custkey, c_mktsegment,
+  cast(coalesce(n, 0) as bigint) as n_orders
+from customer left join (
+  select o_custkey, count(*) as n from orders group by o_custkey)
+on c_custkey = o_custkey"""
+
+
+IDLE_CUTOFF = "2000-06-01"
+
+
+def q_idle_customers(sf_dir: str):
+    """Distributed ANTI-join surface: churned customers — no orders on
+    or after the cutoff (NOT IN over a corpus-scale key set — no
+    broadcast; the date filter pushes into the Parquet read and the
+    order keys are pre-deduplicated so only distinct keys shuffle)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_anti_join
+
+    cutoff = datetime.datetime.fromisoformat(IDLE_CUTOFF)
+    okeys = hash_aggregate(
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey"],
+                              filter=pads.field("o_orderdate") >= cutoff),
+        ["o_custkey"], {"n": ("*", "count")}, n_buckets=8)
+    okeys = okeys.drop_columns(["n"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+    return bucket_anti_join(cust, okeys, on="c_custkey", n_buckets=8)
+
+
+SQL_IDLE_CUSTOMERS = f"""
+select c_custkey, c_mktsegment from customer
+where c_custkey not in (
+  select o_custkey from orders
+  where o_orderdate >= date '{IDLE_CUTOFF}')"""
+
+
+HIST_BIN_WIDTH = 20.0
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values (distribution analytics):
+    map-only binning (one IEEE division + floor, identical both sides),
+    two-phase count — only (bin, hits) partials shuffle."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    ev = ray.data.read_parquet(_events(sf_dir), columns=["value"])
+
+    def binit(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"bin": np.floor(v / HIST_BIN_WIDTH)
+                        .astype(np.int64)})
+
+    return hash_aggregate(ev.map_batches(binit, batch_format="pyarrow"),
+                          ["bin"], {"hits": ("*", "count")}, n_buckets=4)
+
+
+SQL_VALUE_HISTOGRAM = f"""
+select cast(floor(value / {HIST_BIN_WIDTH}) as bigint) as bin,
+  count(*) as hits
+from events group by 1"""
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 word bigrams (collocation / n-gram LM prep):
+    per-batch explode→factorize→bincount pre-combine, two-phase count,
+    distributed top-k finish (the driver only ever receives k rows)."""
+    from abslog_ray.functions.text import bigram_counts
+    from abslog_ray.stages.aggregate import distributed_top_k
+    counts = bigram_counts(_docs(sf_dir), n_buckets=8)
+    counts = counts.map_batches(
+        lambda t: t.rename_columns(["bigram", "n"]), batch_format="pyarrow")
+    return distributed_top_k(counts, 20, ["n", "bigram"], [True, False])
+
+
+SQL_TOP_BIGRAMS = r"""
+with tk as (
+  select doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') as toks
+  from documents),
+b as (
+  select unnest(list_transform(range(len(toks) - 1),
+                i -> toks[i + 1] || ' ' || toks[i + 2])) as bigram
+  from tk where len(toks) >= 2)
+select bigram, count(*) as n from b
+group by bigram order by n desc, bigram limit 20"""
+
+
+def q_last_event_per_user(sf_dir: str):
+    """Argmax-per-key (latest event per user): the grouped top-k kernel
+    with k=1 — bucket-hash on user_id, per-bucket vectorized sort+head."""
+    from abslog_ray.stages.windows import grouped_top_k
+    ev = ray.data.read_parquet(
+        _events(sf_dir), columns=["user_id", "event_id", "event_type", "ts"])
+    top = grouped_top_k(ev, "user_id", "ts", 1, tie_cols=["event_id"],
+                        n_buckets=16)
+    return top.drop_columns(["rank"])
+
+
+SQL_LAST_EVENT_PER_USER = """
+with r as (
+  select user_id, event_id, event_type, ts,
+    row_number() over (partition by user_id
+                       order by ts desc, event_id) as rn
+  from events)
+select user_id, event_id, event_type, ts from r where rn = 1"""
+
+
+# ==========================================================================
 # registry
 # ==========================================================================
 
@@ -1890,10 +2102,14 @@ QUERIES = {
     "status_breakdown": (q_status_breakdown, SQL_STATUS_BREAKDOWN),
     "enrich_lookup": (q_enrich_lookup, SQL_ENRICH_LOOKUP),
     "distinct_tools": (q_distinct_tools, SQL_DISTINCT_TOOLS),
+    "conversation_stats": (q_conversation_stats, SQL_CONVERSATION_STATS),
+    "tool_transitions": (q_tool_transitions, SQL_TOOL_TRANSITIONS),
     # raw events family
     "top_event_types": (q_top_event_types, SQL_TOP_EVENT_TYPES),
     "event_share": (q_event_share, SQL_EVENT_SHARE),
     "approx_uniq_users": (q_approx_uniq_users, SQL_APPROX_UNIQ_USERS),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "last_event_per_user": (q_last_event_per_user, SQL_LAST_EVENT_PER_USER),
     # general aggregates
     "q1_lineitem": (q_q1_lineitem, SQL_Q1_LINEITEM),
     # joins / windows / grouped top-k
@@ -1905,6 +2121,9 @@ QUERIES = {
     "rich_user_events": (q_rich_user_events, SQL_RICH_USER_EVENTS),
     "purchase_attribution": (q_purchase_attribution,
                              SQL_PURCHASE_ATTRIBUTION),
+    "customer_order_counts": (q_customer_order_counts,
+                              SQL_CUSTOMER_ORDER_COUNTS),
+    "idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
@@ -1914,6 +2133,7 @@ QUERIES = {
     "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
+    "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
     "redacted": (q_redacted, SQL_REDACTED),
     "chunks": (q_chunks, SQL_CHUNKS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -144,3 +144,36 @@ def cumulative_over_key(ds, key_col: str, order_cols, value_col: str,
         return df.drop(columns=[value_col])
 
     return ds.groupby(BUCKET_COL).map_groups(fn, batch_format="pandas")
+
+
+def key_transitions(ds, key_col: str, order_cols, value_col: str,
+                    out_from: str = "from_value", out_to: str = "to_value",
+                    n_buckets: int = 32, agg_buckets: int = 4):
+    """Adjacent-pair transition counts per key (the Markov-transition
+    matrix of ``value_col`` within each ``key_col`` partition ordered by
+    ``order_cols`` — SQL ``lead() over (partition by key order by ...)``
+    then group-count).
+
+    One bucket-hash shuffle on ``key_col`` (partitions stay whole), the
+    pair extraction is a vectorized shift inside each bucket, and each
+    bucket emits PRE-COUNTED (from, to, n) partials — only the tiny
+    values×values table crosses the final aggregate."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    ds = ds.map_batches(add_bucket_fn(key_col, n_buckets),
+                        batch_format="pyarrow")
+    order = [key_col, *order_cols]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            order, kind="mergesort", ignore_index=True)
+        key = df[key_col].to_numpy()
+        v = df[value_col].to_numpy()
+        same = key[1:] == key[:-1]
+        out = pd.DataFrame({out_from: v[:-1][same], out_to: v[1:][same]})
+        return (out.groupby([out_from, out_to], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = ds.groupby(BUCKET_COL).map_groups(fn, batch_format="pandas")
+    return hash_aggregate(parts, [out_from, out_to], {"n": ("n", "sum")},
+                          n_buckets=agg_buckets)

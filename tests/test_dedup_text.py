@@ -760,3 +760,23 @@ def test_label_centroids_matches_numpy():
         atol=1e-6)
     assert got["n"].to_numpy().reshape(3, d)[:, 0].sum() == n
     assert got["n"].dtype == np.int64
+
+
+def test_bigram_counts_matches_python():
+    import ray.data
+    from abslog_ray.functions.text import bigram_counts
+    docs = ["the cat sat on the mat", "the cat ran", "solo", "",
+            "  spaced   out  tokens ", "the cat sat"]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    ).repartition(3)
+    got = bigram_counts(ds, n_buckets=2).to_pandas() \
+        .sort_values("bigram", ignore_index=True)
+    from collections import Counter
+    exp = Counter()
+    for d in docs:
+        toks = d.split()
+        exp.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    exp_df = (pd.DataFrame(sorted(exp.items()), columns=["bigram", "c"])
+              .astype({"c": np.int64}))
+    pd.testing.assert_frame_equal(got, exp_df)

@@ -316,3 +316,26 @@ def test_nearest_centroid_counts_planted(ray_session):
     ).to_pandas().sort_values(["label", "assigned"], ignore_index=True)
     assert (got["label"] == got["assigned"]).all()
     assert got["n"].tolist() == [20, 21, 22]
+
+
+def test_key_transitions_matches_pandas(ray_session):
+    import ray.data
+    from abslog_ray.stages.windows import key_transitions
+    rng = np.random.default_rng(7)
+    n = 800
+    df = pd.DataFrame({
+        "conv": rng.integers(0, 40, n).astype(np.int64),
+        "idx": np.arange(n, dtype=np.int64),
+        "tool": rng.choice(["a", "b", "c", "d"], n),
+    })
+    got = key_transitions(
+        ray.data.from_pandas(df).repartition(6), "conv", ["idx"], "tool",
+        out_from="f", out_to="t", n_buckets=4, agg_buckets=2
+    ).to_pandas().sort_values(["f", "t"], ignore_index=True)
+    s = df.sort_values(["conv", "idx"], ignore_index=True)
+    nxt = s.groupby("conv")["tool"].shift(-1)
+    exp = (pd.DataFrame({"f": s["tool"], "t": nxt}).dropna()
+           .groupby(["f", "t"]).size().rename("n").reset_index()
+           .sort_values(["f", "t"], ignore_index=True))
+    exp["n"] = exp["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
