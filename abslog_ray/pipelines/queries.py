@@ -2080,6 +2080,271 @@ with r as (
 select user_id, event_id, event_type, ts from r where rn = 1"""
 
 
+def q_funnel_users(sf_dir: str):
+    """Conversion funnel (signup → purchase): users whose first purchase
+    strictly follows their first signup.  The event-type filter pushes
+    into the Parquet read, per-(user, type) first-timestamps are
+    pre-reduced inside map_batches (two rows per user cross the
+    shuffle), and the step comparison is a vectorized per-bucket pivot."""
+    import pyarrow.dataset as pads
+
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.gaps import BUCKET_COL, add_bucket_fn
+
+    ev = ray.data.read_parquet(
+        _events(sf_dir), columns=["user_id", "event_type", "ts"],
+        filter=pads.field("event_type").isin(["signup", "purchase"]))
+    first = hash_aggregate(ev, ["user_id", "event_type"],
+                           {"first_ts": ("ts", "min")}, n_buckets=8)
+    first = first.map_batches(add_bucket_fn("user_id", 8),
+                              batch_format="pyarrow")
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        w = (df.pivot_table(index="user_id", columns="event_type",
+                            values="first_ts", aggfunc="min")
+             .reindex(columns=["signup", "purchase"]).reset_index())
+        w.columns = ["user_id", "signup_ts", "purchase_ts"]
+        w = w[w["signup_ts"].notna() & w["purchase_ts"].notna()
+              & (w["purchase_ts"] > w["signup_ts"])]
+        return w.reset_index(drop=True)
+
+    return first.groupby(BUCKET_COL).map_groups(pivot,
+                                                batch_format="pandas")
+
+
+SQL_FUNNEL_USERS = """
+with m as (
+  select user_id,
+    min(ts) filter (where event_type = 'signup') as signup_ts,
+    min(ts) filter (where event_type = 'purchase') as purchase_ts
+  from events where event_type in ('signup', 'purchase')
+  group by user_id)
+select user_id, signup_ts, purchase_ts from m
+where signup_ts is not null and purchase_ts is not null
+  and purchase_ts > signup_ts"""
+
+
+def q_distinct_users_daily(sf_dir: str):
+    """Exact grouped COUNT DISTINCT (distinct users per event_type per
+    day) without a raw-row shuffle: per-batch pre-dedup of (type, day,
+    user), bucket-hash on ALL THREE keys — each distinct triple lands in
+    exactly one bucket, so per-bucket nunique partials are disjoint and
+    SUM to the exact answer — then a tiny final aggregate."""
+    from abslog_ray.stages.aggregate import (KEY_BUCKET, add_key_bucket_fn,
+                                             hash_aggregate)
+
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_type", "user_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        out = pa.table({"event_type": t["event_type"], "day": day,
+                        "user_id": t["user_id"]})
+        return out.group_by(["event_type", "day", "user_id"]) \
+                  .aggregate([]).replace_schema_metadata(None)
+
+    ds = ev.map_batches(pre, batch_format="pyarrow")
+    ds = ds.map_batches(
+        add_key_bucket_fn(16, keys=["event_type", "day", "user_id"]),
+        batch_format="pyarrow")
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop(columns=[KEY_BUCKET])
+             .drop_duplicates(["event_type", "day", "user_id"])
+             .groupby(["event_type", "day"], sort=False)["user_id"]
+             .nunique().rename("uniq_users").reset_index())
+        g["uniq_users"] = g["uniq_users"].astype(np.int64)
+        return g
+
+    parts = ds.groupby(KEY_BUCKET).map_groups(local, batch_format="pandas")
+    return hash_aggregate(parts, ["event_type", "day"],
+                          {"uniq_users": ("uniq_users", "sum")},
+                          n_buckets=4)
+
+
+SQL_DISTINCT_USERS_DAILY = """
+select event_type, strftime(ts, '%Y-%m-%d') as day,
+  cast(count(distinct user_id) as bigint) as uniq_users
+from events group by 1, 2"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(sf_dir: str):
+    """PIVOT surface (conditional aggregation): hour-of-day rows × one
+    count column per event type.  Per-batch 2-D factorize+bincount
+    pre-combine — each batch emits at most 24 pre-reduced rows — then
+    two-phase sums; the pivot itself never shuffles raw rows."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hod = pc.hour(t["ts"]).to_numpy().astype(np.int64)
+        ti = pd.Categorical(t["event_type"].to_pandas(),
+                            categories=EVENT_TYPES).codes.astype(np.int64)
+        if len(ti) and ti.min() < 0:
+            raise ValueError("event_type outside the pivot column set")
+        counts = np.bincount(hod * len(EVENT_TYPES) + ti,
+                             minlength=24 * len(EVENT_TYPES)) \
+            .reshape(24, len(EVENT_TYPES))
+        keep = counts.sum(axis=1) > 0
+        cols = {"hod": pa.array(np.arange(24, dtype=np.int64)[keep])}
+        for i, name in enumerate(EVENT_TYPES):
+            cols[f"n_{name}"] = pa.array(counts[keep, i].astype(np.int64))
+        return pa.table(cols)
+
+    return hash_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"), ["hod"],
+        {f"n_{t}": (f"n_{t}", "sum") for t in EVENT_TYPES}, n_buckets=2)
+
+
+SQL_EVENT_TYPE_PIVOT = """
+select extract(hour from ts) as hod,
+""" + ",\n".join(
+    f"  count(*) filter (where event_type = '{t}') as n_{t}"
+    for t in EVENT_TYPES) + """
+from events group by 1"""
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO, Q5_DATE_HI = "1996-01-01", "1997-01-01"
+
+
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the 6-table join: revenue per nation from
+    lineitems where customer and supplier sit in the same nation of one
+    region, over an order-date year.  Distributed plan: nation⋈region
+    resolve to a tiny key set driver-side; customer and supplier prune
+    to that set AT THE READ; supplier (small side) broadcasts onto
+    lineitem; the single big-big exchange is one bucket_join of the
+    date-filtered orders⋈customer side against the per-(order, nation)
+    PRE-AGGREGATED lineitem side.  At 100 TB the supplier broadcast is
+    the only piece to revisit (flip to a second bucket_join)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")) \
+        .to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")) \
+        .to_pandas()
+    rkey = region.loc[region["r_name"] == Q5_REGION, "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(rkey)]
+    nat_keys = nat["n_nationkey"].tolist()
+    nat_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    lo = datetime.datetime.fromisoformat(Q5_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q5_DATE_HI)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(nat_keys))
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    oside = bucket_join(orders, cust, on="o_custkey", n_buckets=8) \
+        .drop_columns(["o_custkey"])
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_keys)]
+    supp_ref = ray.put(supp)
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+        filter=pads.field("l_suppkey").isin(supp["s_suppkey"].tolist()))
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.merge(ray.get(supp_ref), left_on="l_suppkey",
+                      right_on="s_suppkey", how="inner")
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_orderkey", "s_nationkey"], sort=False)["rev"] \
+            .sum().reset_index()
+        return g.rename(columns={"l_orderkey": "o_orderkey"})
+
+    lside = hash_aggregate(
+        li.map_batches(li_partial, batch_format="pandas"),
+        ["o_orderkey", "s_nationkey"], {"rev": ("rev", "sum")},
+        n_buckets=8)
+
+    j = bucket_join(oside, lside, on="o_orderkey", n_buckets=8)
+    j = j.map_batches(
+        lambda t: t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"])),
+        batch_format="pyarrow")
+    agg = hash_aggregate(j, ["s_nationkey"], {"rev": ("rev", "sum")},
+                         n_buckets=2).to_pandas()
+    agg["n_name"] = agg["s_nationkey"].map(nat_names)
+    agg["revenue"] = agg["rev"].round(2)
+    return agg[["n_name", "revenue"]]
+
+
+SQL_REGIONAL_REVENUE = f"""
+select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from customer, orders, lineitem, supplier, nation, region
+where c_custkey = o_custkey and l_orderkey = o_orderkey
+  and l_suppkey = s_suppkey and c_nationkey = s_nationkey
+  and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+  and r_name = '{Q5_REGION}'
+  and o_orderdate >= date '{Q5_DATE_LO}'
+  and o_orderdate < date '{Q5_DATE_HI}'
+group by n_name"""
+
+
+def q_user_value_ntile(sf_dir: str):
+    """Per-key NTILE window (value quartile of each event within its
+    user): `windows.ntile_over_key` — one bucket-hash shuffle, tile
+    index from a closed-form vectorized expression; (value, event_id)
+    is a unique total order so the assignment is deterministic."""
+    from abslog_ray.stages.windows import ntile_over_key
+    ev = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_id", "user_id", "value"])
+    return ntile_over_key(ev, "user_id", ["value", "event_id"], 4,
+                          out_col="quartile", n_buckets=16)
+
+
+SQL_USER_VALUE_NTILE = """
+select event_id, user_id, value,
+  cast(ntile(4) over (partition by user_id
+                      order by value, event_id) as bigint) as quartile
+from events"""
+
+
+def q_zipf_counts(sf_dir: str):
+    """Token frequency-of-frequencies (the Zipf profile a corpus-stats
+    pass wants): two chained two-phase aggregates — (token → count),
+    then (count → #tokens); raw tokens shuffle once, pre-reduced."""
+    from abslog_ray.functions.text import token_counts
+    from abslog_ray.stages.aggregate import hash_aggregate
+    tc = token_counts(_docs(sf_dir), n_buckets=8)
+    tc = tc.map_batches(lambda t: t.rename_columns(["token", "freq"]),
+                        batch_format="pyarrow")
+    return hash_aggregate(tc, ["freq"], {"n_tokens": ("*", "count")},
+                          n_buckets=2)
+
+
+SQL_ZIPF_COUNTS = r"""
+with tf as (
+  select unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) as tok
+  from documents),
+tc as (select tok, count(*) as freq from tf group by tok)
+select freq, count(*) as n_tokens from tc group by freq"""
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -2110,6 +2375,11 @@ QUERIES = {
     "approx_uniq_users": (q_approx_uniq_users, SQL_APPROX_UNIQ_USERS),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "last_event_per_user": (q_last_event_per_user, SQL_LAST_EVENT_PER_USER),
+    "funnel_users": (q_funnel_users, SQL_FUNNEL_USERS),
+    "distinct_users_daily": (q_distinct_users_daily,
+                             SQL_DISTINCT_USERS_DAILY),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "user_value_ntile": (q_user_value_ntile, SQL_USER_VALUE_NTILE),
     # general aggregates
     "q1_lineitem": (q_q1_lineitem, SQL_Q1_LINEITEM),
     # joins / windows / grouped top-k
@@ -2124,6 +2394,7 @@ QUERIES = {
     "customer_order_counts": (q_customer_order_counts,
                               SQL_CUSTOMER_ORDER_COUNTS),
     "idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
@@ -2134,6 +2405,7 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
+    "zipf_counts": (q_zipf_counts, SQL_ZIPF_COUNTS),
     "redacted": (q_redacted, SQL_REDACTED),
     "chunks": (q_chunks, SQL_CHUNKS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -177,3 +177,34 @@ def key_transitions(ds, key_col: str, order_cols, value_col: str,
     parts = ds.groupby(BUCKET_COL).map_groups(fn, batch_format="pandas")
     return hash_aggregate(parts, [out_from, out_to], {"n": ("n", "sum")},
                           n_buckets=agg_buckets)
+
+
+def ntile_over_key(ds, key_col: str, order_cols, k: int,
+                   out_col: str = "tile", n_buckets: int = 32):
+    """SQL ``ntile(k) over (partition by key order by ...)``: each key's
+    rows are split into k tiles, the first ``n % k`` tiles one row
+    larger.  ``order_cols`` must be a total order within each key (add a
+    unique tie-breaker) or the tile assignment is nondeterministic.
+
+    One bucket-hash shuffle on ``key_col``; inside each bucket the tile
+    index comes from a closed-form vectorized expression over the
+    within-key position — no Python loop, no per-group apply."""
+    ds = ds.map_batches(add_bucket_fn(key_col, n_buckets),
+                        batch_format="pyarrow")
+    order = [key_col, *order_cols]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            order, kind="mergesort", ignore_index=True)
+        g = df.groupby(key_col, sort=False)
+        p = g.cumcount().to_numpy()                    # 0-based position
+        n = g[key_col].transform("size").to_numpy()    # key's row count
+        q, r = n // k, n % k
+        big = r * (q + 1)                              # rows in fat tiles
+        fat = p < big
+        tile = np.where(fat, p // np.maximum(q + 1, 1),
+                        r + (p - big) // np.maximum(q, 1)) + 1
+        df[out_col] = tile.astype(np.int64)
+        return df
+
+    return ds.groupby(BUCKET_COL).map_groups(fn, batch_format="pandas")

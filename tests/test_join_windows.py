@@ -339,3 +339,24 @@ def test_key_transitions_matches_pandas(ray_session):
            .sort_values(["f", "t"], ignore_index=True))
     exp["n"] = exp["n"].astype(np.int64)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_ntile_over_key_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from abslog_ray.stages.windows import ntile_over_key
+    rng = np.random.default_rng(5)
+    n = 700
+    df = pd.DataFrame({
+        "k": rng.integers(0, 23, n).astype(np.int64),   # sizes straddle 4
+        "o": rng.permutation(n).astype(np.int64),
+    })
+    for k in (1, 3, 4):
+        got = ntile_over_key(
+            ray.data.from_pandas(df).repartition(5), "k", ["o"], k,
+            out_col="t", n_buckets=4
+        ).to_pandas().sort_values(["k", "o"], ignore_index=True)
+        exp = duckdb.sql(
+            f"select k, o, ntile({k}) over (partition by k order by o)"
+            " as t from df order by k, o").df()
+        assert (got["t"].to_numpy() == exp["t"].to_numpy()).all()
