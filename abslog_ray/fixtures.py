@@ -244,21 +244,24 @@ def fixture_text_format(tier: str = "t1", seed: int = 42,
     rides as epoch MICROSECONDS (the sources' interchange contract)."""
     import pandas as pd
 
-    assert format in ("jsonl", "csv", "tsv")
+    assert format in ("jsonl", "csv", "tsv", "jsonl.gz")
     src = fixture_parquet(tier, seed, num_files)
-    out = os.path.join(FIXTURE_CACHE, f"transcripts_{tier}_s{seed}_{format}")
+    tag = format.replace(".", "_")
+    out = os.path.join(FIXTURE_CACHE, f"transcripts_{tier}_s{seed}_{tag}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
-    ext = {"jsonl": "jsonl", "csv": "csv", "tsv": "tsv"}[format]
     for frag in sorted(glob.glob(os.path.join(src, "*.parquet"))):
         df = pq.read_table(frag).to_pandas()
         df["ts"] = df["ts"].astype("int64")        # datetime64[us] → µs
         dst = os.path.join(
-            out, os.path.basename(frag).replace(".parquet", f".{ext}"))
+            out, os.path.basename(frag).replace(".parquet", f".{format}"))
         if format == "jsonl":
             df.to_json(dst, orient="records", lines=True)
+        elif format == "jsonl.gz":
+            df.to_json(dst, orient="records", lines=True,
+                       compression="gzip")
         else:
             df.to_csv(dst, index=False,
                       sep="\t" if format == "tsv" else ",")

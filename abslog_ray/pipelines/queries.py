@@ -2345,6 +2345,66 @@ tc as (select tok, count(*) as freq from tf group by tok)
 select freq, count(*) as n_tokens from tc group by freq"""
 
 
+LENGTH_BAND = (0.1, 0.9)
+
+
+def q_length_filtered(sf_dir: str):
+    """Quantile-band length filter (the doc-length outlier cut a corpus
+    QC pass wants): pass 1 builds the EXACT n_chars distribution as a
+    two-phase value-count aggregate (driver pull bounded by #distinct
+    lengths, not #docs), the thresholds use the pinned quantile_disc
+    convention, pass 2 is a map-only filter with the band pushed into
+    the Parquet read."""
+    import pyarrow.dataset as pads
+
+    from abslog_ray.quantiles import disc_quantile_from_counts
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    counts = hash_aggregate(
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["n_chars"]),
+        ["n_chars"], {"n": ("*", "count")}, n_buckets=4).to_pandas()
+    lo = disc_quantile_from_counts(counts["n_chars"].to_numpy(),
+                                   counts["n"].to_numpy(), LENGTH_BAND[0])
+    hi = disc_quantile_from_counts(counts["n_chars"].to_numpy(),
+                                   counts["n"].to_numpy(), LENGTH_BAND[1])
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+        filter=(pads.field("n_chars") >= int(lo))
+        & (pads.field("n_chars") <= int(hi)))
+
+
+SQL_LENGTH_FILTERED = f"""
+with q as (
+  select quantile_disc(n_chars, {LENGTH_BAND[0]}) as lo,
+         quantile_disc(n_chars, {LENGTH_BAND[1]}) as hi
+  from documents)
+select doc_id, n_chars from documents, q
+where n_chars between lo and hi"""
+
+
+def q_normalized_texts(sf_dir: str):
+    """Text normalization map-op (lowercase, collapse whitespace runs,
+    trim — the canonicalization step ahead of dedup/tokenization):
+    pure Arrow compute kernels, zero-copy batches, no shuffle.  Both
+    sides are RE2 (`pc.replace_substring_regex` / DuckDB
+    `regexp_replace`), so the regex semantics match bit-for-bit."""
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table({"doc_id": t["doc_id"], "norm_text": x})
+
+    return _docs(sf_dir).map_batches(norm, batch_format="pyarrow")
+
+
+SQL_NORMALIZED_TEXTS = r"""
+select doc_id,
+  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as norm_text
+from documents"""
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -2406,6 +2466,8 @@ QUERIES = {
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
     "zipf_counts": (q_zipf_counts, SQL_ZIPF_COUNTS),
+    "length_filtered": (q_length_filtered, SQL_LENGTH_FILTERED),
+    "normalized_texts": (q_normalized_texts, SQL_NORMALIZED_TEXTS),
     "redacted": (q_redacted, SQL_REDACTED),
     "chunks": (q_chunks, SQL_CHUNKS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -67,3 +67,19 @@ def weighted_quantile_merge(per_part_quantiles: np.ndarray,
     if tot <= 0:
         return None
     return float((q[mask] * wt).sum() / tot)
+
+
+def disc_quantile_from_counts(values: np.ndarray, counts: np.ndarray,
+                              q: float):
+    """Discrete quantile from a (value, count) histogram — the exact
+    quantile of the expanded multiset without materializing it.  Sorts
+    the distinct values, cumulative-sums the counts, and picks the value
+    covering the pinned `quantile_disc_index` position."""
+    if len(values) == 0:
+        return None
+    order = np.argsort(values, kind="stable")
+    v = np.asarray(values)[order]
+    c = np.asarray(counts)[order]
+    cum = np.cumsum(c)
+    idx = quantile_disc_index(q, int(cum[-1]))
+    return v[int(np.searchsorted(cum, idx + 1))]

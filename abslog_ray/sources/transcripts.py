@@ -187,8 +187,15 @@ def _coerce_transcript_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def read_transcripts_jsonl(paths, **kwargs):
-    """Newline-delimited JSON transcript fragments → canonical schema."""
+def read_transcripts_jsonl(paths, compression: str | None = None,
+                           **kwargs):
+    """Newline-delimited JSON transcript fragments → canonical schema.
+    ``compression='gzip'`` reads ``.jsonl.gz`` fragments (decompression
+    streams inside each read task via Arrow's input stream — the
+    driver never touches the bytes)."""
+    if compression is not None:
+        kwargs.setdefault("arrow_open_stream_args",
+                          {"compression": compression})
     ds = ray.data.read_json(paths, **kwargs)
     return ds.map_batches(_coerce_transcript_batch, batch_format="pyarrow")
 

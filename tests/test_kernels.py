@@ -155,3 +155,19 @@ class TestChunkFuzz:
                             for i in range(m)]
                 got = out[out.doc_id == did].sort_values("chunk_idx")
                 assert got["chunk_text"].tolist() == want, (C, O, n)
+
+
+def test_disc_quantile_from_counts_matches_duckdb():
+    import duckdb
+    import numpy as np
+    from abslog_ray.quantiles import disc_quantile_from_counts
+    rng = np.random.default_rng(1)
+    for _ in range(40):
+        vals = rng.integers(0, 40, rng.integers(1, 300))
+        u, c = np.unique(vals, return_counts=True)
+        for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+            got = disc_quantile_from_counts(u, c, q)
+            exp = duckdb.sql(
+                f"select quantile_disc(x, {q}) from (select unnest($v) x)",
+                params={"v": vals.tolist()}).fetchone()[0]
+            assert got == exp

@@ -58,3 +58,9 @@ def test_read_any_dispatch(ray_session, parquet_df):
     pd.testing.assert_frame_equal(df, parquet_df)
     with pytest.raises(ValueError, match="unknown transcript format"):
         read_transcripts_any(d, format="xml")
+
+
+def test_jsonl_gzip_source_matches_parquet(ray_session, parquet_df):
+    d = fixture_text_format("t1", format="jsonl.gz")
+    ds = read_transcripts_jsonl(_paths(d, "jsonl.gz"), compression="gzip")
+    pd.testing.assert_frame_equal(_frame(ds), parquet_df)
