@@ -498,3 +498,30 @@ def bigram_counts(ds, n_buckets: int = 16):
     return hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
                           ["bigram"], {"c": ("c", "sum")},
                           n_buckets=n_buckets)
+
+
+def char_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Per-document Shannon entropy over characters (the low-entropy /
+    boilerplate signal quality filters use): one ''.join + utf-32
+    reinterpret explodes every doc to code points, one np.unique counts
+    (doc, char) pairs, and the -Σ p·log2 p reduction is a segmented
+    bincount — no per-document Python loop.  Empty docs emit no row
+    (matching the SQL mirror's ``where text <> ''``)."""
+    s = batch["text"].to_pandas().fillna("")
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    keep = lens > 0
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+    s, lens = s[keep], lens[keep]
+    if len(s) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "entropy": pa.array([], pa.float64())})
+    codes = np.frombuffer("".join(s).encode("utf-32-le"), dtype=np.uint32)
+    parents = np.repeat(np.arange(len(s), dtype=np.int64), lens)
+    key = parents << 21 | codes.astype(np.int64)   # code points < 2^21
+    uniq, counts = np.unique(key, return_counts=True)
+    up = (uniq >> 21).astype(np.int64)
+    p = counts / lens[up]
+    h = np.zeros(len(s), dtype=np.float64)
+    np.add.at(h, up, -p * np.log2(p))
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                     "entropy": pa.array(np.round(h, 6))})

@@ -2405,6 +2405,88 @@ select doc_id,
 from documents"""
 
 
+def q_props_sum_by_type(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    JSON ``props`` column with a vectorized RE2 extract (no per-row
+    json.loads) and aggregate per event type — the schema-on-read shape
+    log pipelines hit constantly."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(st, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return hash_aggregate(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": ("*", "count"), "k_sum": ("k", "sum"),
+         "k_max": ("k", "max")}, n_buckets=2)
+
+
+SQL_PROPS_SUM_BY_TYPE = r"""
+select event_type, count(*) as n,
+  cast(sum(cast(regexp_extract(props, '"k":\s*(-?\d+)', 1) as bigint))
+       as bigint) as k_sum,
+  max(cast(regexp_extract(props, '"k":\s*(-?\d+)', 1) as bigint)) as k_max
+from events group by event_type"""
+
+
+def q_median_value_by_type(sf_dir: str):
+    """Grouped EXACT quantile without a raw-row shuffle: two-phase
+    (type, value) value-counts — only distinct pairs cross the exchange
+    — then the pinned disc-quantile picked from each type's histogram
+    inside a keys-sized final group step."""
+    from abslog_ray.quantiles import disc_quantile_from_counts
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.gaps import BUCKET_COL, add_bucket_fn
+
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_type", "value"])
+    counts = hash_aggregate(ev, ["event_type", "value"],
+                            {"n": ("*", "count")}, n_buckets=8)
+    counts = counts.map_batches(add_bucket_fn("event_type", 2),
+                                batch_format="pyarrow")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (ty, disc_quantile_from_counts(g["value"].to_numpy(),
+                                           g["n"].to_numpy(), 0.5))
+            for ty, g in df.groupby("event_type", sort=False)]
+        return pd.DataFrame(rows, columns=["event_type", "median_value"])
+
+    return counts.groupby(BUCKET_COL).map_groups(pick,
+                                                 batch_format="pandas")
+
+
+SQL_MEDIAN_VALUE_BY_TYPE = """
+select event_type, quantile_disc(value, 0.5) as median_value
+from events group by event_type"""
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-doc character Shannon entropy (low-entropy / boilerplate
+    quality signal): map-only, one vectorized explode-count-reduce per
+    batch (`text.char_entropy_batch`), no shuffle."""
+    from abslog_ray.functions.text import char_entropy_batch
+    return _docs(sf_dir).map_batches(char_entropy_batch,
+                                     batch_format="pyarrow")
+
+
+SQL_CHAR_ENTROPY = """
+with ch as (
+  select doc_id, unnest(string_split(text, '')) as c
+  from documents where text <> ''),
+cc as (select doc_id, c, count(*) as n from ch group by doc_id, c),
+tot as (select doc_id, sum(n) as t from cc group by doc_id)
+select cc.doc_id,
+  round(-sum((n::double / t) * log2(n::double / t)), 6) as entropy
+from cc join tot using (doc_id) group by cc.doc_id"""
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -2440,6 +2522,9 @@ QUERIES = {
                              SQL_DISTINCT_USERS_DAILY),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "user_value_ntile": (q_user_value_ntile, SQL_USER_VALUE_NTILE),
+    "props_sum_by_type": (q_props_sum_by_type, SQL_PROPS_SUM_BY_TYPE),
+    "median_value_by_type": (q_median_value_by_type,
+                             SQL_MEDIAN_VALUE_BY_TYPE),
     # general aggregates
     "q1_lineitem": (q_q1_lineitem, SQL_Q1_LINEITEM),
     # joins / windows / grouped top-k
@@ -2468,6 +2553,7 @@ QUERIES = {
     "zipf_counts": (q_zipf_counts, SQL_ZIPF_COUNTS),
     "length_filtered": (q_length_filtered, SQL_LENGTH_FILTERED),
     "normalized_texts": (q_normalized_texts, SQL_NORMALIZED_TEXTS),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "redacted": (q_redacted, SQL_REDACTED),
     "chunks": (q_chunks, SQL_CHUNKS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -780,3 +780,14 @@ def test_bigram_counts_matches_python():
     exp_df = (pd.DataFrame(sorted(exp.items()), columns=["bigram", "c"])
               .astype({"c": np.int64}))
     pd.testing.assert_frame_equal(got, exp_df)
+
+
+def test_char_entropy_batch_edges():
+    import pyarrow as pa
+    from abslog_ray.functions.text import char_entropy_batch
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": ["aab", "", "héllo héllo", "zzzz"]})
+    got = char_entropy_batch(t).to_pandas()
+    assert got["doc_id"].tolist() == [1, 3, 4]   # empty doc emits no row
+    assert abs(got["entropy"].iloc[0] - 0.918296) < 1e-9
+    assert got["entropy"].iloc[2] == 0.0         # single-char doc
