@@ -2476,6 +2476,64 @@ def q_char_entropy(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+PREP_MIN_TOKENS = 32
+PREP_PERMILLE = 500
+
+
+def q_corpus_prep(sf_dir: str):
+    """END-TO-END corpus prep composition — the pipeline a training-data
+    pass actually runs, as ONE streaming Dataset chain: normalize
+    (lower/collapse/trim, Arrow kernels) → quality cut (token-count
+    floor) → exact dedup on the NORMALIZED text (two-phase md5 groups,
+    min doc_id representative, copies counted) → deterministic LCG
+    sample of the survivors.  Every stage is the already-oracled kernel;
+    this pins that they compose without materializing between stages."""
+    import hashlib
+
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.sample import hash_sample
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        ntok = pc.add(pc.count_substring(x, " "), 1)
+        keep = pc.and_(pc.not_equal(x, ""),
+                       pc.greater_equal(ntok, PREP_MIN_TOKENS))
+        kept = pa.table({"doc_id": t["doc_id"], "nt": x,
+                         "n_tokens": pc.cast(ntok, pa.int64())}).filter(keep)
+        fp = kept["nt"].to_pandas().map(
+            lambda s: hashlib.md5(s.encode()).hexdigest())
+        return pa.table({"fp": pa.array(fp, pa.string()),
+                         "doc_id": kept["doc_id"],
+                         "n_tokens": kept["n_tokens"]})
+
+    parts = _docs(sf_dir).map_batches(prep, batch_format="pyarrow")
+    groups = hash_aggregate(parts, ["fp"], {
+        "doc_id": ("doc_id", "min"),
+        "n_tokens": ("n_tokens", "min"),
+        "n_copies": ("*", "count"),
+    }, n_buckets=8)
+    sampled = hash_sample(groups, permille=PREP_PERMILLE, id_col="doc_id")
+    return sampled.drop_columns(["fp"])
+
+
+SQL_CORPUS_PREP = f"""
+with n as (
+  select doc_id,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as nt
+  from documents),
+f as (
+  select doc_id, nt, len(string_split(nt, ' ')) as n_tokens
+  from n where nt <> '' and len(string_split(nt, ' ')) >= {PREP_MIN_TOKENS}),
+d as (
+  select min(doc_id) as doc_id, cast(min(n_tokens) as bigint) as n_tokens,
+         count(*) as n_copies
+  from f group by md5(nt))
+select doc_id, n_tokens, n_copies from d
+where ({_LCG_SQL.format(seed=0)}) % 1000 < {PREP_PERMILLE}"""
+
+
 SQL_CHAR_ENTROPY = """
 with ch as (
   select doc_id, unnest(string_split(text, '')) as c
@@ -2554,6 +2612,7 @@ QUERIES = {
     "length_filtered": (q_length_filtered, SQL_LENGTH_FILTERED),
     "normalized_texts": (q_normalized_texts, SQL_NORMALIZED_TEXTS),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
     "redacted": (q_redacted, SQL_REDACTED),
     "chunks": (q_chunks, SQL_CHUNKS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

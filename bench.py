@@ -41,6 +41,14 @@ BENCH_QUERIES = [
     "status_breakdown", "distribution_hour_pattern", "lsh_near_dup_probe",
     "ivf_ann", "contamination", "sample_docs", "stratified_sample",
     "rolling_hits", "tfidf_top_terms", "label_centroids",
+    # round-4 breadth
+    "top_revenue_orders", "user_cumulative", "nearest_centroid",
+    "regional_revenue", "funnel_users", "distinct_users_daily",
+    "event_type_pivot", "top_bigrams", "zipf_counts", "char_entropy",
+    "tool_transitions", "conversation_stats", "last_event_per_user",
+    "user_value_ntile", "median_value_by_type", "props_sum_by_type",
+    "length_filtered", "normalized_texts", "customer_order_counts",
+    "idle_customers", "value_histogram",
 ]
 
 
