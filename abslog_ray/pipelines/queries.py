@@ -2476,6 +2476,44 @@ def q_char_entropy(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+BLOOM_BITS, BLOOM_K = 1 << 20, 5
+
+
+def q_purchaser_events(sf_dir: str):
+    """Bloom-accelerated distributed semi-join (all events of users who
+    ever purchased): the purchaser key set builds a Bloom bitmap in one
+    pass (bitmaps tree-OR-merged, driver sees ≤16 rows), the bitmap
+    broadcasts ONCE via ray.put and knocks out definite non-members of
+    the probe side map-only, and the exact bucket_join runs over
+    candidates only — false positives die there, false negatives are
+    impossible, so the result equals the plain semi-join while the
+    exchange carries a fraction of the rows.  THE pre-shuffle reduction
+    shape for 100-TB semi/anti joins."""
+    import pyarrow.dataset as pads
+
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.bloom import bloom_semi_filter, build_bloom
+    from abslog_ray.stages.join import bucket_join
+
+    keys = hash_aggregate(
+        ray.data.read_parquet(
+            _events(sf_dir), columns=["user_id"],
+            filter=pads.field("event_type") == "purchase"),
+        ["user_id"], {"n": ("*", "count")}, n_buckets=4).drop_columns(["n"])
+    bm = build_bloom(keys, "user_id", n_bits=BLOOM_BITS, k=BLOOM_K)
+
+    ev = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_id", "user_id", "event_type"])
+    cand = bloom_semi_filter(ev, "user_id", bm, BLOOM_BITS, k=BLOOM_K)
+    return bucket_join(cand, keys, on="user_id", n_buckets=8)
+
+
+SQL_PURCHASER_EVENTS = """
+select event_id, user_id, event_type from events
+where user_id in (
+  select user_id from events where event_type = 'purchase')"""
+
+
 PREP_MIN_TOKENS = 32
 PREP_PERMILLE = 500
 
@@ -2576,6 +2614,7 @@ QUERIES = {
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "last_event_per_user": (q_last_event_per_user, SQL_LAST_EVENT_PER_USER),
     "funnel_users": (q_funnel_users, SQL_FUNNEL_USERS),
+    "purchaser_events": (q_purchaser_events, SQL_PURCHASER_EVENTS),
     "distinct_users_daily": (q_distinct_users_daily,
                              SQL_DISTINCT_USERS_DAILY),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),

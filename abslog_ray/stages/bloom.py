@@ -1,0 +1,124 @@
+"""Distributed Bloom filter build + membership pre-filter.
+
+The 100-TB shape this enables: instead of shuffling a huge probe table
+into a semi/anti join against a large-but-smaller build side, build a
+Bloom filter over the build side's keys (one pass, bitmap OR-merged in a
+two-level tree), broadcast the bitmap once via ``ray.put``, and knock
+out the guaranteed-non-members of the probe side with a map-only filter
+BEFORE the exact join — the exchange then carries only candidate rows.
+False positives pass through (the exact join removes them); false
+negatives are impossible, so correctness is unchanged.
+
+Hashing is double hashing (Kirsch–Mitzenmacher): probe ``i`` of key
+``x`` is ``(h1(x) + i·h2(x)) mod n_bits`` with ``h1``/``h2`` two
+independently seeded vectorized 64-bit SipHashes (``pd.util.hash_array``
+— no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _hash2(values: np.ndarray):
+    """Two independent vectorized 64-bit hashes of an arbitrary array.
+
+    ``pd.util.hash_array``'s hash_key only keys OBJECT dtypes — for
+    numeric arrays two differently-keyed calls return the SAME hash, so
+    the second hash is derived from the first with a splitmix64
+    avalanche instead (decorrelated regardless of dtype)."""
+    h1 = pd.util.hash_array(values)
+    z = h1 + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = z ^ (z >> np.uint64(31))
+    return h1, h2 | np.uint64(1)      # odd h2 → full-period probing
+
+
+def _set_bits(bitmap: np.ndarray, values: np.ndarray, n_bits: int, k: int):
+    h1, h2 = _hash2(values)
+    for i in range(k):                # k is tiny (≤ ~10); rows vectorized
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+        # bitwise_or.at, NOT fancy-index |=: duplicate byte indices in
+        # one batch must all land, and |= applies each byte only once
+        np.bitwise_or.at(
+            bitmap, (idx >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+
+
+def _test_bits(bitmap: np.ndarray, values: np.ndarray, n_bits: int,
+               k: int) -> np.ndarray:
+    h1, h2 = _hash2(values)
+    ok = np.ones(len(values), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+        bit = bitmap[(idx >> np.uint64(3)).astype(np.int64)] \
+            >> (idx & np.uint64(7)).astype(np.uint8)
+        ok &= (bit & 1).astype(bool)
+    return ok
+
+
+def build_bloom(ds, col: str, n_bits: int = 1 << 23, k: int = 5):
+    """One pass over ``ds[col]`` → a ``n_bits``-bit Bloom bitmap
+    (``np.uint8`` array, ``n_bits/8`` bytes on the driver).
+
+    Per-batch bitmaps are OR-merged in a two-level tree: each map task
+    emits its local bitmap as ONE row, a grouped stage ORs √n-sized
+    subsets, and the driver ORs only the handful of survivors — the
+    driver never sees per-row data and at most ~dozens of bitmaps."""
+    assert n_bits % 8 == 0
+
+    def local(t: pa.Table) -> pa.Table:
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        v = t[col].to_numpy(zero_copy_only=False)
+        if len(v):
+            _set_bits(bm, v, n_bits, k)
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.binary())})
+
+    def or_group(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_bits // 8, dtype=np.uint8)
+        for b in df["bloom"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"bloom": [acc.tobytes()]})
+
+    parts = ds.map_batches(local, batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        # pseudo-random-ish spread of bitmaps over OR groups without
+        # driver coordination: hash the bitmap bytes themselves
+        g = pd.util.hash_array(
+            np.array([b[:64] for b in t["bloom"].to_pylist()],
+                     dtype=object)) % np.uint64(16)
+        return t.append_column("g", pa.array(g.astype(np.int64)))
+
+    merged = parts.map_batches(tag, batch_format="pyarrow") \
+        .groupby("g").map_groups(
+            lambda df: or_group(df.drop(columns=["g"])),
+            batch_format="pandas")
+
+    acc = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in merged.take_all():     # ≤16 rows — bounded driver pull
+        acc |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    return acc
+
+
+def bloom_semi_filter(ds, col: str, bitmap: np.ndarray, n_bits: int,
+                      k: int = 5):
+    """Map-only membership pre-filter: drop rows whose ``col`` is
+    DEFINITELY not in the filter's build set (no false negatives; false
+    positives pass and must be removed by the downstream exact join).
+    The bitmap ships once via ``ray.put`` and is read per actor/task —
+    never per batch."""
+    import ray
+    ref = ray.put(bitmap)
+
+    def flt(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        v = t[col].to_numpy(zero_copy_only=False)
+        if not len(v):
+            return t
+        return t.filter(pa.array(_test_bits(bm, v, n_bits, k)))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
