@@ -2323,6 +2323,23 @@ select event_id, user_id, value,
 from events"""
 
 
+def q_user_value_pct_rank(sf_dir: str):
+    """Ties-aware PERCENT_RANK window per user
+    (`windows.percent_rank_over_key`): min-rank shares across equal
+    values, (r−1)/(n−1) uses the same IEEE operands as SQL so the
+    doubles match bit-for-bit."""
+    from abslog_ray.stages.windows import percent_rank_over_key
+    ev = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_id", "user_id", "value"])
+    return percent_rank_over_key(ev, "user_id", "value", n_buckets=16)
+
+
+SQL_USER_VALUE_PCT_RANK = """
+select event_id, user_id, value,
+  percent_rank() over (partition by user_id order by value) as pct_rank
+from events"""
+
+
 def q_zipf_counts(sf_dir: str):
     """Token frequency-of-frequencies (the Zipf profile a corpus-stats
     pass wants): two chained two-phase aggregates — (token → count),
@@ -2619,6 +2636,8 @@ QUERIES = {
                              SQL_DISTINCT_USERS_DAILY),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "user_value_ntile": (q_user_value_ntile, SQL_USER_VALUE_NTILE),
+    "user_value_pct_rank": (q_user_value_pct_rank,
+                            SQL_USER_VALUE_PCT_RANK),
     "props_sum_by_type": (q_props_sum_by_type, SQL_PROPS_SUM_BY_TYPE),
     "median_value_by_type": (q_median_value_by_type,
                              SQL_MEDIAN_VALUE_BY_TYPE),

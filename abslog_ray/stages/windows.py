@@ -208,3 +208,27 @@ def ntile_over_key(ds, key_col: str, order_cols, k: int,
         return df
 
     return ds.groupby(BUCKET_COL).map_groups(fn, batch_format="pandas")
+
+
+def percent_rank_over_key(ds, key_col: str, value_col: str,
+                          out_col: str = "pct_rank", n_buckets: int = 32):
+    """SQL ``percent_rank() over (partition by key order by value)``:
+    (min-rank − 1) / (n − 1) with ties sharing a rank, 0.0 for
+    single-row keys.  One bucket-hash shuffle; the tie-aware min-rank is
+    pandas' vectorized ``rank(method='min')`` per bucket, and the final
+    division uses the same two IEEE operands as the SQL engine, so the
+    doubles match bit-for-bit."""
+    ds = ds.map_batches(add_bucket_fn(key_col, n_buckets),
+                        batch_format="pyarrow")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby(key_col, sort=False)
+        r = g[value_col].rank(method="min").to_numpy()
+        n = g[key_col].transform("size").to_numpy().astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            pr = (r - 1.0) / (n - 1.0)
+        df[out_col] = np.where(n > 1, pr, 0.0)
+        return df
+
+    return ds.groupby(BUCKET_COL).map_groups(fn, batch_format="pandas")

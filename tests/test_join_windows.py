@@ -360,3 +360,24 @@ def test_ntile_over_key_matches_duckdb(ray_session):
             f"select k, o, ntile({k}) over (partition by k order by o)"
             " as t from df order by k, o").df()
         assert (got["t"].to_numpy() == exp["t"].to_numpy()).all()
+
+
+def test_percent_rank_over_key_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from abslog_ray.stages.windows import percent_rank_over_key
+    rng = np.random.default_rng(3)
+    n = 600
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 25, n).astype(np.int64),   # incl. size-1 keys
+        "v": rng.integers(0, 15, n).astype(np.float64),  # many ties
+    })
+    got = percent_rank_over_key(
+        ray.data.from_pandas(df).repartition(5), "k", "v",
+        out_col="pr", n_buckets=4
+    ).to_pandas().sort_values(["k", "id"], ignore_index=True)
+    exp = duckdb.sql(
+        "select id, k, v, percent_rank() over (partition by k order by v)"
+        " as pr from df order by k, id").df()
+    assert (got["pr"].to_numpy() == exp["pr"].to_numpy()).all()  # bitwise
