@@ -322,6 +322,61 @@ select role, minute, count(*) as total_hits,
 from f group by role, minute"""
 
 
+def q_multi_grain_totals(sf_dir: str):
+    """Multi-grain rollup in ONE pass over the raw data: the per-minute
+    two-phase aggregate runs once, and the hour and day grains are
+    RE-AGGREGATIONS of that (already tiny) minute table — the A6
+    query-time re-aggregation story generalized.  Raw rows shuffle
+    once; the coarser grains only ever touch keys-sized partials."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    mins = minute_totals(_enriched(sf_dir))
+
+    def trunc(unit: str):
+        def fn(t: pa.Table) -> pa.Table:
+            g = pc.floor_temporal(t["minute"], unit=unit)
+            return pa.table({
+                "role": t["role"], "bucket_ts": g,
+                "total_hits": t["total_hits"],
+                "invalid_hits": t["invalid_hits"],
+                "total_bytes": t["total_bytes"]})
+        return fn
+
+    spec = {"total_hits": ("total_hits", "sum"),
+            "invalid_hits": ("invalid_hits", "sum"),
+            "total_bytes": ("total_bytes", "sum")}
+    grains = []
+    for name, unit in (("hour", "hour"), ("day", "day")):
+        g = hash_aggregate(
+            mins.map_batches(trunc(unit), batch_format="pyarrow"),
+            ["role", "bucket_ts"], spec, n_buckets=2)
+        g = g.map_batches(
+            lambda t, n=name: t.append_column(
+                "grain", pa.array([n] * len(t), pa.string())),
+            batch_format="pyarrow")
+        grains.append(g)
+    return grains[0].union(grains[1])
+
+
+SQL_MULTI_GRAIN_TOTALS = _PRELUDE + """
+, m as (
+  select role, minute, count(*) as total_hits,
+    cast(sum(case when parsed then 0 else 1 end) as bigint) as invalid_hits,
+    cast(sum(bytes) as bigint) as total_bytes
+  from f group by role, minute)
+select role, date_trunc('hour', minute) as bucket_ts,
+  cast(sum(total_hits) as bigint) as total_hits,
+  cast(sum(invalid_hits) as bigint) as invalid_hits,
+  cast(sum(total_bytes) as bigint) as total_bytes, 'hour' as grain
+from m group by 1, 2
+union all
+select role, date_trunc('day', minute) as bucket_ts,
+  cast(sum(total_hits) as bigint) as total_hits,
+  cast(sum(invalid_hits) as bigint) as invalid_hits,
+  cast(sum(total_bytes) as bigint) as total_bytes, 'day' as grain
+from m group by 1, 2"""
+
+
 def q_top_patterns(sf_dir: str):
     """K1+A6+J2: top-10 patterns by hits over the whole range, with exact
     weighted-quantile sums and %-of-total.
@@ -447,6 +502,102 @@ select role, minute,
   cast(status // 100 as varchar) || 'xx' as status_class,
   count(*) as hits
 from f where parsed group by role, minute, status_class"""
+
+
+def q_rollup_hits(sf_dir: str):
+    """Grouping-sets ROLLUP (role, tool): the detail grain aggregates
+    the raw rows ONCE (two-phase); the role subtotal and the grand
+    total RE-aggregate the keys-sized detail table — no second pass
+    over the data, and sentinel '(all)' keys keep the output schema
+    null-free (the driver hash never sees a mixed-null key column)."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    detail = hash_aggregate(_tp(sf_dir).select_columns(["role", "tool"]),
+                            ["role", "tool"], {"hits": ("*", "count")},
+                            n_buckets=8)
+
+    def const(name, val):
+        def fn(t: pa.Table) -> pa.Table:
+            if name in t.column_names:
+                t = t.drop_columns([name])
+            return t.append_column(
+                name, pa.array([val] * len(t), pa.string()))
+        return fn
+
+    by_role = hash_aggregate(detail.drop_columns(["tool"]), ["role"],
+                             {"hits": ("hits", "sum")}, n_buckets=2)
+    by_role = by_role.map_batches(const("tool", "(all)"),
+                                  batch_format="pyarrow")
+    total = hash_aggregate(
+        detail.drop_columns(["tool"]).map_batches(
+            const("role", "(all)"), batch_format="pyarrow"),
+        ["role"], {"hits": ("hits", "sum")}, n_buckets=1)
+    total = total.map_batches(const("tool", "(all)"),
+                              batch_format="pyarrow")
+    out = detail.union(by_role).union(total)
+    return out.map_batches(lambda t: t.select(["role", "tool", "hits"]),
+                           batch_format="pyarrow")
+
+
+SQL_ROLLUP_HITS = _PRELUDE + """
+select coalesce(role, '(all)') as role, coalesce(tool, '(all)') as tool,
+  count(*) as hits
+from t group by rollup(role, tool)"""
+
+
+def q_mode_pattern_by_role(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break (the most frequent
+    pattern per role): two-phase count, then argmax-per-key over the
+    keys-sized count table (`grouped_top_k` k=1, ties to the smallest
+    pattern string) — raw rows shuffle once, pre-reduced."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.windows import grouped_top_k
+
+    parsed = _enriched(sf_dir).map_batches(
+        lambda t: t.filter(pc.field("parsed")).select(["role", "pattern"]),
+        batch_format="pyarrow")
+    counts = hash_aggregate(parsed, ["role", "pattern"],
+                            {"n": ("*", "count")}, n_buckets=8)
+    top = grouped_top_k(counts, "role", "n", 1, tie_cols=["pattern"],
+                        n_buckets=2)
+    return top.drop_columns(["rank"])
+
+
+SQL_MODE_PATTERN_BY_ROLE = _PRELUDE + """
+, c as (select role, pattern, count(*) as n from e where parsed
+        group by 1, 2),
+r as (select *, row_number() over (partition by role
+          order by n desc, pattern) as rn from c)
+select role, pattern, n from r where rn = 1"""
+
+
+def q_tool_sequences(sf_dir: str):
+    """Ordered grouped string-agg (the per-conversation tool path):
+    conversations hash to buckets whole, per-bucket vectorized sort +
+    join — the `string_agg(... order by ...)` list-collect every
+    session-mining / SFT-data pipeline needs."""
+    from abslog_ray.stages.gaps import BUCKET_COL, add_bucket_fn
+
+    ds = _tp(sf_dir).select_columns(["conv_id", "turn_idx", "tool"])
+    ds = ds.map_batches(add_bucket_fn("conv_id", 16),
+                        batch_format="pyarrow")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]) \
+               .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(tool_path=("tool", ">".join),
+                    n_turns=("tool", "size")).reset_index()
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return out
+
+    return ds.groupby(BUCKET_COL).map_groups(fn, batch_format="pandas")
+
+
+SQL_TOOL_SEQUENCES = _PRELUDE + """
+select conv_id, string_agg(tool, '>' order by turn_idx) as tool_path,
+  count(*) as n_turns
+from t group by conv_id"""
 
 
 # tool -> category lookup used for the enrich broadcast-join query; the SQL
@@ -1975,6 +2126,64 @@ from customer left join (
 on c_custkey = o_custkey"""
 
 
+OUTER_SEGMENT = "BUILDING"
+OUTER_LO, OUTER_HI = "1996-01-01", "1997-01-01"
+
+
+def q_order_coverage_outer(sf_dir: str):
+    """FULL OUTER join surface: one segment's customers against the
+    per-customer order counts of one year — left-only rows (customers
+    with no orders that year) and right-only rows (other segments'
+    buyers) both survive, null-padded with typed Arrow nulls and then
+    sentinel-filled so the output schema stays exact.  Keys come from
+    whichever side matched (never null)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    lo = datetime.datetime.fromisoformat(OUTER_LO)
+    hi = datetime.datetime.fromisoformat(OUTER_HI)
+    cnt = hash_aggregate(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+            filter=(pads.field("o_orderdate") >= lo)
+            & (pads.field("o_orderdate") < hi)),
+        ["o_custkey"], {"n_orders": ("*", "count")}, n_buckets=4)
+    cnt = cnt.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "n_orders"]),
+        batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pads.field("c_mktsegment") == OUTER_SEGMENT)
+    j = bucket_join(cust, cnt, on="c_custkey", how="outer", n_buckets=8)
+
+    def fill(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0)
+        seg = pc.fill_null(t["c_mktsegment"], "(none)")
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_mktsegment": seg, "n_orders": n})
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_ORDER_COVERAGE_OUTER = f"""
+select coalesce(c_custkey, o_custkey) as c_custkey,
+  coalesce(c_mktsegment, '(none)') as c_mktsegment,
+  cast(coalesce(n, 0) as bigint) as n_orders
+from (select c_custkey, c_mktsegment from customer
+      where c_mktsegment = '{OUTER_SEGMENT}') c
+full outer join (
+  select o_custkey, count(*) as n from orders
+  where o_orderdate >= date '{OUTER_LO}'
+    and o_orderdate < date '{OUTER_HI}'
+  group by o_custkey) o
+on c_custkey = o_custkey"""
+
+
 IDLE_CUTOFF = "2000-06-01"
 
 
@@ -2033,6 +2242,71 @@ SQL_VALUE_HISTOGRAM = f"""
 select cast(floor(value / {HIST_BIN_WIDTH}) as bigint) as bin,
   count(*) as hits
 from events group by 1"""
+
+
+def q_value_props_corr(sf_dir: str):
+    """Grouped Pearson correlation from EXACT integer sums (value cents
+    × props byte-length per event type): per-batch int64 products, one
+    keys-sized two-phase aggregate, and the float math confined to ONE
+    final expression evaluated on identical double operands both sides
+    (IEEE-deterministic up to the shared round).  Int64 bound: |cents|
+    ≤ 5e4 here, so Σx² stays exact past 3e9 rows per type; re-quantize
+    the scale for wider value domains."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_type", "value", "props"])
+
+    def prods(t: pa.Table) -> pa.Table:
+        x = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        y = pc.cast(pc.binary_length(t["props"]), pa.int64()).to_numpy()
+        return pa.table({
+            "event_type": t["event_type"],
+            "x": x, "y": y, "xx": x * x, "yy": y * y, "xy": x * y,
+        })
+
+    sums = hash_aggregate(
+        ev.map_batches(prods, batch_format="pyarrow"), ["event_type"],
+        {"n": ("*", "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxx": ("xx", "sum"), "syy": ("yy", "sum"),
+         "sxy": ("xy", "sum")}, n_buckets=2)
+
+    def corr(t: pa.Table) -> pa.Table:
+        f = {c: t[c].to_numpy().astype(np.float64)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = np.sqrt((f["n"] * f["sxx"] - f["sx"] * f["sx"])
+                      * (f["n"] * f["syy"] - f["sy"] * f["sy"]))
+        safe = np.where(den == 0.0, 1.0, den)
+        r = np.where(den == 0.0, np.nan, np.round(num / safe, 6))
+        return pa.table({"event_type": t["event_type"],
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "corr": pa.array(r, pa.float64())})
+
+    return sums.map_batches(corr, batch_format="pyarrow")
+
+
+SQL_VALUE_PROPS_CORR = """
+with p as (
+  select event_type,
+    cast(floor(value * 100 + 0.5) as bigint) as x,
+    cast(strlen(props) as bigint) as y
+  from events),
+s as (
+  select event_type, count(*) as n,
+    sum(x) as sx, sum(y) as sy,
+    sum(x * x) as sxx, sum(y * y) as syy, sum(x * y) as sxy
+  from p group by event_type)
+select event_type, n,
+  case when (cast(n as double) * sxx - cast(sx as double) * sx) *
+            (cast(n as double) * syy - cast(sy as double) * sy) = 0
+  then null
+  else round((cast(n as double) * sxy - cast(sx as double) * sy) /
+    sqrt((cast(n as double) * sxx - cast(sx as double) * sx) *
+         (cast(n as double) * syy - cast(sy as double) * sy)), 6)
+  end as corr
+from s"""
 
 
 def q_top_bigrams(sf_dir: str):
@@ -2614,6 +2888,11 @@ QUERIES = {
     "conversation_texts": (q_conversation_texts, SQL_CONVERSATION_TEXTS),
     "routed_counts": (q_routed_counts, SQL_ROUTED_COUNTS),
     "minute_totals": (q_minute_totals, SQL_MINUTE_TOTALS),
+    "multi_grain_totals": (q_multi_grain_totals, SQL_MULTI_GRAIN_TOTALS),
+    "rollup_hits": (q_rollup_hits, SQL_ROLLUP_HITS),
+    "mode_pattern_by_role": (q_mode_pattern_by_role,
+                             SQL_MODE_PATTERN_BY_ROLE),
+    "tool_sequences": (q_tool_sequences, SQL_TOOL_SEQUENCES),
     "top_patterns": (q_top_patterns, SQL_TOP_PATTERNS),
     "pattern_detail": (q_pattern_detail, SQL_PATTERN_DETAIL),
     "distribution_hour": (q_distribution_hour, SQL_DISTRIBUTION_HOUR),
@@ -2655,6 +2934,9 @@ QUERIES = {
     "customer_order_counts": (q_customer_order_counts,
                               SQL_CUSTOMER_ORDER_COUNTS),
     "idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
+    "order_coverage_outer": (q_order_coverage_outer,
+                             SQL_ORDER_COVERAGE_OUTER),
+    "value_props_corr": (q_value_props_corr, SQL_VALUE_PROPS_CORR),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),

@@ -48,7 +48,9 @@ BENCH_QUERIES = [
     "tool_transitions", "conversation_stats", "last_event_per_user",
     "user_value_ntile", "median_value_by_type", "props_sum_by_type",
     "length_filtered", "normalized_texts", "customer_order_counts",
-    "idle_customers", "value_histogram",
+    "idle_customers", "value_histogram", "multi_grain_totals",
+    "order_coverage_outer", "rollup_hits", "mode_pattern_by_role",
+    "tool_sequences", "value_props_corr",
 ]
 
 
