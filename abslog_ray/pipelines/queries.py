@@ -1880,6 +1880,66 @@ select label, clabel as assigned, count(*) as n
 from a where rn = 1 group by label, assigned"""
 
 
+KMEANS_K, KMEANS_ITERS, KMEANS_SCALE, KMEANS_DIM = 8, 2, 10_000, 64
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means (fixed iterations, EXACT integer
+    arithmetic end-to-end — quantized coordinates, integer squared
+    distances, argmin ties to the smallest cluster id, round-half-up
+    centroid updates) so the ITERATIVE algorithm itself is
+    DuckDB-oracled bit-for-bit: the k x dim centroid matrix broadcasts
+    per iteration, batches emit pre-combined (cluster, dim, sum, count)
+    partials, and only k*dim rows reach the driver per round."""
+    from abslog_ray.stages.cluster import kmeans_assign
+    return kmeans_assign(_emb(sf_dir), k=KMEANS_K, iters=KMEANS_ITERS,
+                         scale=KMEANS_SCALE)
+
+
+def _kmeans_sql() -> str:
+    """Unrolled CTE mirror of ``cluster.kmeans_assign`` (same quantize /
+    init / argmin / update rules, one assign+update CTE pair per
+    iteration)."""
+    k, s, d = KMEANS_K, KMEANS_SCALE, KMEANS_DIM
+
+    def assign(i: int, c: str) -> str:
+        return f"""a{i} as (
+  select vec_id, cid, d2, row_number() over (partition by vec_id
+      order by d2, cid) as rn from (
+    select q.vec_id, c.cid,
+      list_sum(list_transform(range({d}),
+        i -> (q.v[i + 1] - c.v[i + 1]) * (q.v[i + 1] - c.v[i + 1]))) as d2
+    from q cross join {c} c))"""
+
+    def update(i: int, a: str) -> str:
+        return f"""c{i} as (
+  select cid, list(s order by dim) as v from (
+    select a.cid, r.i as dim,
+      (2 * sum(q.v[r.i + 1]) + count(*)) // (2 * count(*)) as s
+    from {a} a join q using (vec_id)
+    cross join (select unnest(range({d})) as i) r
+    where a.rn = 1
+    group by a.cid, r.i)
+  group by cid)"""
+
+    parts = [f"""q as (
+  select vec_id, list_transform(embedding,
+      x -> cast(floor(cast(x as double) * {s} + 0.5) as bigint) + {s}) as v
+  from embeddings)""", f"""c0 as (
+  select row_number() over (order by vec_id) - 1 as cid, v
+  from (select vec_id, v from q order by vec_id limit {k}))"""]
+    for it in range(KMEANS_ITERS):
+        parts.append(assign(it, f"c{it}"))
+        parts.append(update(it + 1, f"a{it}"))
+    parts.append(assign(KMEANS_ITERS, f"c{KMEANS_ITERS}"))
+    return ("with " + ",\n".join(parts) + f"""
+select vec_id, cid as cluster, cast(d2 as bigint) as d2
+from a{KMEANS_ITERS} where rn = 1""")
+
+
+SQL_KMEANS = _kmeans_sql()
+
+
 def q_user_cumulative(sf_dir: str):
     """Running row_number + running exact-cents sum per user over the
     events stream (the ``sum(...) over (partition by user order by ts)``
@@ -2973,6 +3033,7 @@ QUERIES = {
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "nearest_centroid": (q_nearest_centroid, SQL_NEAREST_CENTROID),
+    "kmeans": (q_kmeans, SQL_KMEANS),
     # sampling + decontamination + windowed family
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),

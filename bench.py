@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "length_filtered", "normalized_texts", "customer_order_counts",
     "idle_customers", "value_histogram", "multi_grain_totals",
     "order_coverage_outer", "rollup_hits", "mode_pattern_by_role",
-    "tool_sequences", "value_props_corr",
+    "tool_sequences", "value_props_corr", "kmeans",
 ]
 
 

@@ -1,0 +1,56 @@
+"""kmeans_assign: exact-integer Lloyd's iterations vs a local reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from abslog_ray.stages.cluster import _dist2, _quantize, kmeans_assign
+
+
+def _reference(emb: np.ndarray, k: int, iters: int, scale: int):
+    """Single-process mirror of the distributed rules (same quantize,
+    init-by-smallest-ids, first-occurrence argmin, half-up update)."""
+    q = _quantize(emb.astype(np.float64), scale)
+    cents = q[:k].copy()                      # ids are 0..n-1 in order
+    for _ in range(iters):
+        a = np.argmin(_dist2(q, cents), axis=1)
+        if len(np.unique(a)) < k:
+            raise ValueError("empty cluster")
+        for c in range(k):
+            m = q[a == c]
+            cents[c] = (2 * m.sum(axis=0) + len(m)) // (2 * len(m))
+    d2 = _dist2(q, cents)
+    a = np.argmin(d2, axis=1)
+    return a, d2[np.arange(len(a)), a]
+
+
+def test_kmeans_matches_local_reference():
+    rng = np.random.default_rng(11)
+    emb = (rng.standard_normal((120, 6)) * 0.2).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                       "embedding": list(emb)})
+    want_a, want_d2 = _reference(emb, k=4, iters=3, scale=1000)
+
+    # partitioning / row order must not change anything: shuffled input,
+    # several blocks
+    shuf = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    ds = ray.data.from_pandas(shuf).repartition(7)
+    got = (kmeans_assign(ds, k=4, iters=3, scale=1000)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert got["cluster"].tolist() == want_a.tolist()
+    assert got["d2"].tolist() == want_d2.tolist()
+    assert got["cluster"].dtype == np.int64 and got["d2"].dtype == np.int64
+
+
+def test_kmeans_empty_cluster_raises():
+    # vectors 0 and 1 are identical, so every point ties between their
+    # two centroids and the smaller cid wins -> cluster 1 empties.
+    rng = np.random.default_rng(12)
+    emb = (rng.standard_normal((30, 4)) * 0.2).astype(np.float32)
+    emb[1] = emb[0]
+    df = pd.DataFrame({"vec_id": np.arange(30, dtype=np.int64),
+                       "embedding": list(emb)})
+    with pytest.raises(ValueError, match="emptied"):
+        kmeans_assign(ray.data.from_pandas(df), k=3, iters=1, scale=1000)
