@@ -600,6 +600,32 @@ select conv_id, string_agg(tool, '>' order by turn_idx) as tool_path,
 from t group by conv_id"""
 
 
+def q_dow_totals(sf_dir: str):
+    """Day-of-week traffic profile per role (the K3 time-distribution
+    family on the calendar axis): map-only dow extraction (Arrow
+    day_of_week, Monday=0 == SQL isodow-1), two-phase count+sum — only
+    (role, dow) partials shuffle."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    def dow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "role": t["role"],
+            "dow": pc.cast(pc.day_of_week(t["ts"]), pa.int64()),
+            "bytes": pc.cast(pc.binary_length(t["text"]), pa.int64()),
+        })
+
+    ds = _tp(sf_dir).map_batches(dow, batch_format="pyarrow")
+    return hash_aggregate(ds, ["role", "dow"],
+                          {"hits": ("*", "count"),
+                           "bytes_sum": ("bytes", "sum")}, n_buckets=4)
+
+
+SQL_DOW_TOTALS = _PRELUDE + """
+select role, cast(isodow(ts) - 1 as bigint) as dow, count(*) as hits,
+  cast(sum(strlen(text)) as bigint) as bytes_sum
+from t group by role, dow"""
+
+
 # tool -> category lookup used for the enrich broadcast-join query; the SQL
 # mirror inlines it as VALUES, the Ray side broadcasts it into the actor pool
 EVENT_TOOL_CATS = {
@@ -1940,6 +1966,39 @@ from a{KMEANS_ITERS} where rn = 1""")
 SQL_KMEANS = _kmeans_sql()
 
 
+COV_SCALE = 10_000
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Upper-triangle covariance matrix of the embedding table from
+    EXACT integer sums (`stages/pca.covariance_int`): coordinates
+    quantize once, each batch emits one d x d integer matmul as
+    d*(d+1)/2 pre-combined pair partials, and the output
+    ``cov_num = n*Σxy − Σx*Σy`` (population covariance × n²) is an
+    exact integer — hash-identical to SQL with no float policy at all.
+    The feeder for `pca_project` (whose eigenvectors are pytest-pinned,
+    not SQL-expressible)."""
+    from abslog_ray.stages.pca import covariance_int
+    return covariance_int(_emb(sf_dir), scale=COV_SCALE)
+
+
+SQL_EMBEDDING_COVARIANCE = f"""
+with q as (
+  select list_transform(embedding,
+      x -> cast(floor(cast(x as double) * {COV_SCALE} + 0.5) as bigint)) as v
+  from embeddings),
+x as (
+  select a.i, b.j, v[a.i + 1] as xi, v[b.j + 1] as xj
+  from q
+  cross join (select unnest(range({KMEANS_DIM})) as i) a
+  cross join (select unnest(range({KMEANS_DIM})) as j) b
+  where a.i <= b.j)
+select i, j, count(*) as n,
+  cast(sum(xi) as bigint) as si, cast(sum(xj) as bigint) as sj,
+  cast(count(*) * sum(xi * xj) - sum(xi) * sum(xj) as bigint) as cov_num
+from x group by i, j"""
+
+
 def q_user_cumulative(sf_dir: str):
     """Running row_number + running exact-cents sum per user over the
     events stream (the ``sum(...) over (partition by user order by ts)``
@@ -2242,6 +2301,54 @@ full outer join (
     and o_orderdate < date '{OUTER_HI}'
   group by o_custkey) o
 on c_custkey = o_custkey"""
+
+
+BIG_ORDER_QTY = 300
+
+
+def q_big_orders(sf_dir: str):
+    """HAVING-subquery + join-back (TPC-H Q18 shape): orders whose total
+    line quantity exceeds a threshold, joined back to the order header.
+    Quantities are integral-valued doubles, so they cast to int64 per
+    batch and the grouped sum is exact; the keys-sized survivor set
+    (post-HAVING) is the only thing the join ships."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"])
+
+    def ints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    tot = hash_aggregate(li.map_batches(ints, batch_format="pyarrow"),
+                         ["o_orderkey"], {"total_qty": ("qty", "sum")},
+                         n_buckets=8)
+    big = tot.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"], BIG_ORDER_QTY)),
+        batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = bucket_join(orders, big, on="o_orderkey", how="inner", n_buckets=8)
+    return j.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice", "total_qty"]),
+        batch_format="pyarrow")
+
+
+SQL_BIG_ORDERS = f"""
+select o_orderkey, o_custkey, o_orderdate, o_totalprice,
+  cast(s.q as bigint) as total_qty
+from orders join (
+  select l_orderkey, sum(cast(l_quantity as bigint)) as q
+  from lineitem group by l_orderkey
+  having q > {BIG_ORDER_QTY}) s
+on o_orderkey = l_orderkey"""
 
 
 IDLE_CUTOFF = "2000-06-01"
@@ -2953,6 +3060,7 @@ QUERIES = {
     "mode_pattern_by_role": (q_mode_pattern_by_role,
                              SQL_MODE_PATTERN_BY_ROLE),
     "tool_sequences": (q_tool_sequences, SQL_TOOL_SEQUENCES),
+    "dow_totals": (q_dow_totals, SQL_DOW_TOTALS),
     "top_patterns": (q_top_patterns, SQL_TOP_PATTERNS),
     "pattern_detail": (q_pattern_detail, SQL_PATTERN_DETAIL),
     "distribution_hour": (q_distribution_hour, SQL_DISTRIBUTION_HOUR),
@@ -2997,6 +3105,7 @@ QUERIES = {
     "order_coverage_outer": (q_order_coverage_outer,
                              SQL_ORDER_COVERAGE_OUTER),
     "value_props_corr": (q_value_props_corr, SQL_VALUE_PROPS_CORR),
+    "big_orders": (q_big_orders, SQL_BIG_ORDERS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
@@ -3034,6 +3143,8 @@ QUERIES = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "nearest_centroid": (q_nearest_centroid, SQL_NEAREST_CENTROID),
     "kmeans": (q_kmeans, SQL_KMEANS),
+    "embedding_covariance": (q_embedding_covariance,
+                             SQL_EMBEDDING_COVARIANCE),
     # sampling + decontamination + windowed family
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),

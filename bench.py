@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "idle_customers", "value_histogram", "multi_grain_totals",
     "order_coverage_outer", "rollup_hits", "mode_pattern_by_role",
     "tool_sequences", "value_props_corr", "kmeans",
+    "embedding_covariance", "dow_totals", "big_orders",
 ]
 
 

@@ -44,6 +44,47 @@ def test_kmeans_matches_local_reference():
     assert got["cluster"].dtype == np.int64 and got["d2"].dtype == np.int64
 
 
+def test_pca_project_matches_local_reference():
+    from abslog_ray.stages.pca import (_components_from_cov,
+                                       covariance_int, pca_project)
+
+    rng = np.random.default_rng(21)
+    # anisotropic cloud so the top components are unambiguous
+    base = rng.standard_normal((200, 5)) * np.array([5, 2, 1, .5, .1])
+    emb = (base * 0.05).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": list(emb)})
+    ds = ray.data.from_pandas(
+        df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ).repartition(5)
+
+    # local reference: same quantized covariance + the same driver math
+    x = emb.astype(np.float64)
+    q = np.floor(x * 1000 + 0.5).astype(np.int64)
+    n = len(q)
+    sij = q.T @ q
+    si = q.sum(axis=0)
+    cov_num = n * sij - np.outer(si, si)
+    ii, jj = np.triu_indices(5)
+    cov_df = pd.DataFrame({"i": ii, "j": jj, "n": n, "si": si[ii],
+                           "sj": si[jj], "cov_num": cov_num[ii, jj]})
+    comp, eigvals = _components_from_cov(cov_df, 5, 1000, 2)
+    want = (x - q.sum(axis=0) / (n * 1000.0)) @ comp.T
+    assert eigvals[0] > eigvals[1] > 0
+
+    got = (pca_project(ds, n_components=2, scale=1000)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    np.testing.assert_allclose(got[["pc1", "pc2"]].to_numpy(), want,
+                               rtol=0, atol=1e-12)
+
+    # the distributed covariance itself is exact-integer identical
+    cov_ds = (covariance_int(ds, scale=1000).to_pandas()
+              .sort_values(["i", "j"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        cov_ds, cov_df.sort_values(["i", "j"]).reset_index(drop=True),
+        check_dtype=False)
+
+
 def test_kmeans_empty_cluster_raises():
     # vectors 0 and 1 are identical, so every point ties between their
     # two centroids and the smaller cid wins -> cluster 1 empties.
