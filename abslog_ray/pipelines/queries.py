@@ -2925,6 +2925,63 @@ select event_type, quantile_disc(value, 0.5) as median_value
 from events group by event_type"""
 
 
+P_CONT_Q = 0.9
+
+
+def q_p90_value_by_type(sf_dir: str):
+    """Grouped INTERPOLATED percentile (quantile_cont convention,
+    pos = q*(n-1), result = lo + (hi-lo)*frac) — same
+    distinct-pairs-only exchange as the exact median, with the
+    interpolation formula mirrored operand-for-operand in the SQL (the
+    engine's built-in quantile_cont is NOT used: its internal float
+    order is unspecified)."""
+    from abslog_ray.quantiles import cont_quantile_from_counts
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.gaps import BUCKET_COL, add_bucket_fn
+
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_type", "value"])
+    counts = hash_aggregate(ev, ["event_type", "value"],
+                            {"n": ("*", "count")}, n_buckets=8)
+    counts = counts.map_batches(add_bucket_fn("event_type", 2),
+                                batch_format="pyarrow")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (ty, cont_quantile_from_counts(g["value"].to_numpy(),
+                                           g["n"].to_numpy(), P_CONT_Q))
+            for ty, g in df.groupby("event_type", sort=False)]
+        return pd.DataFrame(rows, columns=["event_type", "p90_value"])
+
+    return counts.groupby(BUCKET_COL).map_groups(pick,
+                                                 batch_format="pandas")
+
+
+SQL_P90_VALUE_BY_TYPE = f"""
+with c as (
+  select event_type, value, count(*) as n from events group by 1, 2),
+w as (
+  select event_type, value,
+    sum(n) over (partition by event_type order by value) as cum,
+    sum(n) over (partition by event_type) as tot
+  from c),
+p as (
+  select event_type,
+    cast({P_CONT_Q} as double) * (min(tot) - 1) as pos from w
+  group by event_type),
+sel as (
+  select w.event_type,
+    min(case when w.cum >= cast(floor(p.pos) as bigint) + 1
+        then w.value end) as lo_v,
+    min(case when w.cum >= cast(ceil(p.pos) as bigint) + 1
+        then w.value end) as hi_v,
+    min(p.pos) as pos
+  from w join p using (event_type)
+  group by w.event_type)
+select event_type, lo_v + (hi_v - lo_v) * (pos - floor(pos)) as p90_value
+from sel"""
+
+
 def q_char_entropy(sf_dir: str):
     """Per-doc character Shannon entropy (low-entropy / boilerplate
     quality signal): map-only, one vectorized explode-count-reduce per
@@ -3106,6 +3163,7 @@ QUERIES = {
                              SQL_ORDER_COVERAGE_OUTER),
     "value_props_corr": (q_value_props_corr, SQL_VALUE_PROPS_CORR),
     "big_orders": (q_big_orders, SQL_BIG_ORDERS),
+    "p90_value_by_type": (q_p90_value_by_type, SQL_P90_VALUE_BY_TYPE),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),

@@ -83,3 +83,24 @@ def disc_quantile_from_counts(values: np.ndarray, counts: np.ndarray,
     cum = np.cumsum(c)
     idx = quantile_disc_index(q, int(cum[-1]))
     return v[int(np.searchsorted(cum, idx + 1))]
+
+
+def cont_quantile_from_counts(values: np.ndarray, counts: np.ndarray,
+                              q: float):
+    """Linear-interpolated (``quantile_cont``-convention) quantile from
+    a (value, count) histogram: pos = q*(n-1) over the expanded sorted
+    multiset, result = lo + (hi - lo) * frac.  The expression is kept
+    in this exact operand order so a SQL mirror computing the same
+    formula on the same doubles is bit-identical (do NOT compare
+    against an engine's built-in quantile_cont, whose internal
+    interpolation order is unspecified)."""
+    if len(values) == 0:
+        return None
+    order = np.argsort(values, kind="stable")
+    v = np.asarray(values, dtype=np.float64)[order]
+    cum = np.cumsum(np.asarray(counts)[order])
+    pos = q * float(int(cum[-1]) - 1)
+    f = np.floor(pos)
+    lo = v[int(np.searchsorted(cum, int(f) + 1))]
+    hi = v[int(np.searchsorted(cum, int(np.ceil(pos)) + 1))]
+    return float(lo + (hi - lo) * (pos - f))

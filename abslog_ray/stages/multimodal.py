@@ -470,3 +470,82 @@ def resize_images(ds, out_h: int, out_w: int, concurrency=(1, 4),
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs={"out_h": out_h,
                                                  "out_w": out_w})
+
+
+class AudioFeaturizer:
+    """Actor-pool spectral-feature stage for WAV rows (the
+    feature-extract step of an audio training-data pipeline): per row,
+    decode + one rFFT — emits duration, RMS, peak, zero-crossing rate
+    and the spectral centroid / rolloff / bandwidth in Hz.  Non-WAV
+    rows pass through with null features (schema stays fixed).  Real
+    end-to-end: the stdlib WAV decoder feeds numpy's FFT; no fakes."""
+
+    COLS = ("duration_s", "rms", "peak", "zcr",
+            "spectral_centroid_hz", "spectral_rolloff_hz",
+            "spectral_bandwidth_hz")
+
+    def __init__(self, rolloff: float = 0.85):
+        self.rolloff = rolloff
+
+    def _features(self, payload: bytes):
+        s, rate = decode_wav(payload)
+        mono = s.mean(axis=1)
+        n = len(mono)
+        if n == 0:
+            return (0.0,) + (0.0,) * 6
+        zcr = float(np.mean(np.signbit(mono[1:]) !=
+                            np.signbit(mono[:-1]))) if n > 1 else 0.0
+        mag = np.abs(np.fft.rfft(mono))
+        freq = np.fft.rfftfreq(n, d=1.0 / rate)
+        p = mag * mag
+        tot = p.sum()
+        if tot > 0:
+            centroid = float((freq * p).sum() / tot)
+            csum = np.cumsum(p)
+            roll = float(freq[np.searchsorted(csum,
+                                              self.rolloff * tot)])
+            bw = float(np.sqrt(((freq - centroid) ** 2 * p).sum() / tot))
+        else:
+            centroid = roll = bw = 0.0
+        return (n / rate, float(np.sqrt(np.mean(mono ** 2))),
+                float(np.abs(mono).max(initial=0.0)), zcr,
+                centroid, roll, bw)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        out = {c: [] for c in self.COLS}
+        for pay in payloads:
+            vals = (self._features(pay)
+                    if _sniff(pay) == "wav" else (None,) * 7)
+            for c, v in zip(self.COLS, vals):
+                out[c].append(v)
+        t = batch.drop_columns(["payload"]).append_column(
+            "payload_bytes",
+            pa.array([len(p) for p in payloads], pa.int64()))
+        for c in self.COLS:
+            t = t.append_column(c, pa.array(out[c], pa.float64()))
+        return t
+
+
+def audio_features(ds, rolloff: float = 0.85, concurrency=(1, 4),
+                   batch_size: int = 64):
+    return ds.map_batches(AudioFeaturizer, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"rolloff": rolloff})
+
+
+def synth_sine_wav(freq_hz: float, n_frames: int, rate: int = 8000,
+                   amp: float = 0.5) -> bytes:
+    """Pure 16-bit PCM sine — features have closed forms for tests."""
+    import io
+    import wave
+    t = np.arange(n_frames, dtype=np.float64) / rate
+    samples = np.round(np.sin(2 * np.pi * freq_hz * t) * amp
+                       * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.tobytes())
+    return buf.getvalue()

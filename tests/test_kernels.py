@@ -171,3 +171,16 @@ def test_disc_quantile_from_counts_matches_duckdb():
                 f"select quantile_disc(x, {q}) from (select unnest($v) x)",
                 params={"v": vals.tolist()}).fetchone()[0]
             assert got == exp
+
+
+def test_cont_quantile_from_counts_matches_numpy_linear():
+    import numpy as np
+    from abslog_ray.quantiles import cont_quantile_from_counts
+    rng = np.random.default_rng(2)
+    for _ in range(40):
+        vals = np.round(rng.normal(0, 50, rng.integers(1, 300)), 2)
+        u, c = np.unique(vals, return_counts=True)
+        for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+            got = cont_quantile_from_counts(u, c, q)
+            exp = float(np.percentile(vals, q * 100, method="linear"))
+            assert abs(got - exp) < 1e-9, (q, got, exp)

@@ -246,3 +246,33 @@ def test_jpeg_decode_resize_through_ray():
         want = resize_nearest(decode_jpeg(jpegs[i]), 8, 8)
         # resized-then-re-encoded trip is lossy; assert closeness
         assert np.abs(got.astype(float) - want.astype(float)).mean() < 4.0
+
+
+def test_audio_features_sine_closed_form():
+    from abslog_ray.stages.multimodal import (audio_features, synth_ppm,
+                                              synth_sine_wav)
+    rate, freq, amp = 8000, 1000.0, 0.5
+    rows = pa.table({
+        "item_id": pa.array([0, 1, 2], pa.int64()),
+        "kind": pa.array(["audio", "audio", "image"]),
+        "payload": pa.array([synth_sine_wav(freq, rate, rate, amp),
+                             synth_sine_wav(250.0, rate, rate, amp),
+                             synth_ppm(4, 4)], pa.binary()),
+    })
+    out = (audio_features(ray.data.from_arrow(rows), concurrency=(1, 2),
+                          batch_size=2)
+           .to_pandas().sort_values("item_id", ignore_index=True))
+    r0 = out.iloc[0]
+    assert r0["duration_s"] == 1.0
+    assert abs(r0["rms"] - amp / np.sqrt(2)) < 1e-3
+    assert abs(r0["zcr"] - 2 * freq / rate) < 0.01
+    assert abs(r0["spectral_centroid_hz"] - freq) < 5.0
+    assert abs(r0["spectral_rolloff_hz"] - freq) < 5.0
+    assert r0["spectral_bandwidth_hz"] < 50.0
+    r1 = out.iloc[1]
+    assert abs(r1["spectral_centroid_hz"] - 250.0) < 5.0
+    # non-WAV rows pass through with null features, fixed schema
+    r2 = out.iloc[2]
+    assert np.isnan(r2["spectral_centroid_hz"]) and np.isnan(r2["rms"])
+    assert r2["payload_bytes"] > 0
+    assert "payload" not in out.columns
