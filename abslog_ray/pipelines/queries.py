@@ -330,7 +330,8 @@ def q_multi_grain_totals(sf_dir: str):
     once; the coarser grains only ever touch keys-sized partials."""
     from abslog_ray.stages.aggregate import hash_aggregate
 
-    mins = minute_totals(_enriched(sf_dir))
+    # keys-sized branch point (see q_rollup_hits): both grains read this
+    mins = minute_totals(_enriched(sf_dir)).materialize()
 
     def trunc(unit: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -512,9 +513,13 @@ def q_rollup_hits(sf_dir: str):
     null-free (the driver hash never sees a mixed-null key column)."""
     from abslog_ray.stages.aggregate import hash_aggregate
 
+    # materialize at the branch point: three grains consume this and a
+    # lazy Dataset would re-execute the full raw-row aggregate per
+    # branch (measured 3x the wall); the table is keys-sized (roles x
+    # tools), so pinning it is free
     detail = hash_aggregate(_tp(sf_dir).select_columns(["role", "tool"]),
                             ["role", "tool"], {"hits": ("*", "count")},
-                            n_buckets=8)
+                            n_buckets=8).materialize()
 
     def const(name, val):
         def fn(t: pa.Table) -> pa.Table:
