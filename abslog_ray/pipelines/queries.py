@@ -550,6 +550,51 @@ select coalesce(role, '(all)') as role, coalesce(tool, '(all)') as tool,
 from t group by rollup(role, tool)"""
 
 
+def q_cube_hits(sf_dir: str):
+    """GROUP BY CUBE (role, tool): rollup_hits plus the (tool-only)
+    grouping set — all four grains re-aggregate the ONE materialized
+    keys-sized detail table; the raw rows still shuffle exactly once."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    detail = hash_aggregate(_tp(sf_dir).select_columns(["role", "tool"]),
+                            ["role", "tool"], {"hits": ("*", "count")},
+                            n_buckets=8).materialize()
+
+    def const(name, val):
+        def fn(t: pa.Table) -> pa.Table:
+            if name in t.column_names:
+                t = t.drop_columns([name])
+            return t.append_column(
+                name, pa.array([val] * len(t), pa.string()))
+        return fn
+
+    def grain(keys, sentinels):
+        g = hash_aggregate(detail.select_columns(keys + ["hits"]) if keys
+                           else detail.map_batches(
+                               const("role", "(all)"),
+                               batch_format="pyarrow")
+                           .select_columns(["role", "hits"]),
+                           keys or ["role"], {"hits": ("hits", "sum")},
+                           n_buckets=2)
+        for name, val in sentinels:
+            g = g.map_batches(const(name, val), batch_format="pyarrow")
+        return g.map_batches(lambda t: t.select(["role", "tool", "hits"]),
+                             batch_format="pyarrow")
+
+    out = detail.map_batches(lambda t: t.select(["role", "tool", "hits"]),
+                             batch_format="pyarrow")
+    out = out.union(grain(["role"], [("tool", "(all)")]))
+    out = out.union(grain(["tool"], [("role", "(all)")]))
+    out = out.union(grain([], [("tool", "(all)")]))
+    return out
+
+
+SQL_CUBE_HITS = _PRELUDE + """
+select coalesce(role, '(all)') as role, coalesce(tool, '(all)') as tool,
+  count(*) as hits
+from t group by cube(role, tool)"""
+
+
 def q_mode_pattern_by_role(sf_dir: str):
     """Grouped MODE with a deterministic tie-break (the most frequent
     pattern per role): two-phase count, then argmax-per-key over the
@@ -2481,6 +2526,89 @@ select event_type, n,
 from s"""
 
 
+REPEAT_EARLY_END, REPEAT_LATE_START = "2024-01-08", "2024-01-24"
+
+
+def q_repeat_users(sf_dir: str):
+    """Set-operation surface (INTERSECT): users active in BOTH the first
+    and the last week of the range.  Each side pushes its time filter
+    into the Parquet read and pre-dedups to distinct keys (two-phase),
+    so the inner bucket_join — the distributed INTERSECT — only ever
+    ships distinct user_ids."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    def side(filt):
+        ds = ray.data.read_parquet(_events(sf_dir), columns=["user_id"],
+                                   filter=filt)
+        return hash_aggregate(ds, ["user_id"], {"n": ("*", "count")},
+                              n_buckets=4).drop_columns(["n"])
+
+    early = side(pads.field("ts")
+                 < datetime.datetime.fromisoformat(REPEAT_EARLY_END))
+    late = side(pads.field("ts")
+                >= datetime.datetime.fromisoformat(REPEAT_LATE_START))
+    return bucket_join(early, late, on="user_id", how="inner",
+                       n_buckets=4)
+
+
+SQL_REPEAT_USERS = f"""
+select user_id from events where ts < timestamp '{REPEAT_EARLY_END}'
+intersect
+select user_id from events where ts >= timestamp '{REPEAT_LATE_START}'"""
+
+
+def q_value_stddev_by_type(sf_dir: str):
+    """Grouped population stddev from EXACT integer sums: the variance
+    numerator ``var_num = n*Σx² − (Σx)²`` is an exact int64 (hash-exact
+    with no float policy), and the stddev double is ONE mirrored
+    expression over it (sqrt → two divisions, identical operand order
+    both sides)."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        x = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "x": x, "xx": x * x})
+
+    sums = hash_aggregate(
+        ev.map_batches(cents, batch_format="pyarrow"), ["event_type"],
+        {"n": ("*", "count"), "sx": ("x", "sum"), "sxx": ("xx", "sum")},
+        n_buckets=2)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        var_num = n * t["sxx"].to_numpy() - t["sx"].to_numpy() ** 2
+        nd = n.astype(np.float64)
+        std = np.round(np.sqrt(var_num.astype(np.float64)) / nd / 100.0, 6)
+        return pa.table({"event_type": t["event_type"],
+                         "n": pa.array(n), "var_num": pa.array(var_num),
+                         "stddev_value": pa.array(std, pa.float64())})
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_VALUE_STDDEV_BY_TYPE = """
+with s as (
+  select event_type, count(*) as n,
+    sum(cast(floor(value * 100 + 0.5) as bigint)) as sx,
+    sum(cast(floor(value * 100 + 0.5) as bigint)
+        * cast(floor(value * 100 + 0.5) as bigint)) as sxx
+  from events group by event_type)
+select event_type, n, cast(n * sxx - sx * sx as bigint) as var_num,
+  round(sqrt(cast(n * sxx - sx * sx as double)) / n / 100.0, 6)
+    as stddev_value
+from s"""
+
+
 def q_top_bigrams(sf_dir: str):
     """Corpus-wide top-20 word bigrams (collocation / n-gram LM prep):
     per-batch explode→factorize→bincount pre-combine, two-phase count,
@@ -3119,6 +3247,7 @@ QUERIES = {
     "minute_totals": (q_minute_totals, SQL_MINUTE_TOTALS),
     "multi_grain_totals": (q_multi_grain_totals, SQL_MULTI_GRAIN_TOTALS),
     "rollup_hits": (q_rollup_hits, SQL_ROLLUP_HITS),
+    "cube_hits": (q_cube_hits, SQL_CUBE_HITS),
     "mode_pattern_by_role": (q_mode_pattern_by_role,
                              SQL_MODE_PATTERN_BY_ROLE),
     "tool_sequences": (q_tool_sequences, SQL_TOOL_SEQUENCES),
@@ -3169,6 +3298,9 @@ QUERIES = {
     "value_props_corr": (q_value_props_corr, SQL_VALUE_PROPS_CORR),
     "big_orders": (q_big_orders, SQL_BIG_ORDERS),
     "p90_value_by_type": (q_p90_value_by_type, SQL_P90_VALUE_BY_TYPE),
+    "repeat_users": (q_repeat_users, SQL_REPEAT_USERS),
+    "value_stddev_by_type": (q_value_stddev_by_type,
+                             SQL_VALUE_STDDEV_BY_TYPE),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),

@@ -52,7 +52,8 @@ BENCH_QUERIES = [
     "order_coverage_outer", "rollup_hits", "mode_pattern_by_role",
     "tool_sequences", "value_props_corr", "kmeans",
     "embedding_covariance", "dow_totals", "big_orders",
-    "p90_value_by_type",
+    "p90_value_by_type", "cube_hits", "repeat_users",
+    "value_stddev_by_type",
 ]
 
 
