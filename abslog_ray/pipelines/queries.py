@@ -3232,6 +3232,151 @@ from cc join tot using (doc_id) group by cc.doc_id"""
 
 
 # ==========================================================================
+# time-series analytics: cohorts, lag deltas, anomaly flags
+# ==========================================================================
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle — the standard product-analytics view:
+    users are cohorted by their FIRST active day, and each (cohort_day,
+    day_offset) cell counts how many of them were active that many days
+    later.  Three keyed passes, all on already-reduced tables: distinct
+    (user, day) activity via the two-phase hash_aggregate (raw events
+    shuffle once), per-user min day over that, then one inner
+    ``bucket_join`` back on user_id (both sides ≤ distinct-user-days
+    rows, keyed shuffle — no broadcast of a corpus-scale cohort map)
+    and a final keys-sized aggregate."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    ev = ray.data.read_parquet(_events(sf_dir), columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.floor_temporal(t["ts"], unit="day")})
+
+    act = hash_aggregate(ev.map_batches(days, batch_format="pyarrow"),
+                         ["user_id", "day"], {"n": ("*", "count")},
+                         n_buckets=8)
+    act = act.map_batches(lambda t: t.select(["user_id", "day"]),
+                          batch_format="pyarrow").materialize()
+    firsts = hash_aggregate(act, ["user_id"],
+                            {"cohort_day": ("day", "min")}, n_buckets=8)
+    j = bucket_join(act, firsts, on="user_id", how="inner", n_buckets=8)
+
+    def offsets(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        c = t["cohort_day"].to_numpy(
+            zero_copy_only=False).astype("datetime64[us]")
+        off = ((d - c) // np.timedelta64(1, "D")).astype(np.int64)
+        return pa.table({"cohort_day": t["cohort_day"],
+                         "day_offset": pa.array(off)})
+
+    return hash_aggregate(j.map_batches(offsets, batch_format="pyarrow"),
+                          ["cohort_day", "day_offset"],
+                          {"n_users": ("*", "count")}, n_buckets=8)
+
+
+SQL_COHORT_RETENTION = """
+with act as (
+  select distinct user_id, date_trunc('day', ts) as day from events),
+firsts as (
+  select user_id, min(day) as cohort_day from act group by user_id)
+select cohort_day,
+  cast(date_diff('day', cohort_day, day) as bigint) as day_offset,
+  count(*) as n_users
+from act join firsts using (user_id)
+group by cohort_day, day_offset"""
+
+
+def q_minute_deltas(sf_dir: str):
+    """Per-role minute-over-minute hit delta (lag window over the
+    summary grain).  The raw rows reduce once through the two-phase
+    minute aggregate; the lag itself runs per role partition on the
+    already keys-sized minute table (``groupby(role).map_groups`` —
+    each group sorts its own minutes, no global sort).  First minute's
+    lag defaults to 0 (SQL ``lag(h, 1, 0)``) so delta stays a non-null
+    int64 — no nullable-width policy needed."""
+    m = minute_totals(_enriched(sf_dir)).select_columns(
+        ["role", "minute", "total_hits"])
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("minute", kind="mergesort", ignore_index=True)
+        prev = df["total_hits"].shift(1, fill_value=0).astype(np.int64)
+        df["delta"] = (df["total_hits"] - prev).astype(np.int64)
+        return df
+
+    return m.groupby("role").map_groups(lag, batch_format="pandas")
+
+
+SQL_MINUTE_DELTAS = _PRELUDE + """
+, m as (select role, minute, count(*) as total_hits
+        from f group by role, minute)
+select role, minute, total_hits,
+  cast(total_hits - lag(total_hits, 1, 0)
+         over (partition by role order by minute) as bigint) as delta
+from m"""
+
+
+def q_minute_anomalies(sf_dir: str):
+    """Per-role traffic anomaly flags: minutes whose hit count is ≥ 2
+    population stddevs from that role's mean.  Hash-exact selection —
+    the z-score test |h−μ| ≥ 2σ is evaluated as the INTEGER comparison
+    (n·h − s1)² ≥ 4·(n·s2 − s1²) (both sides exact int64; overflow-safe
+    while n·h < 3e9, document at 100 TB the comparison should move to
+    the float z), and the reported z is ONE mirrored float expression.
+    Stats per role come from the keys-sized minute table; the join back
+    is a 2-bucket keyed join on role."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    m = minute_totals(_enriched(sf_dir)).select_columns(
+        ["role", "minute", "total_hits"]).materialize()
+
+    def sq(t: pa.Table) -> pa.Table:
+        h = t["total_hits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"role": t["role"], "h": pa.array(h),
+                         "hh": pa.array(h * h)})
+
+    stats = hash_aggregate(m.map_batches(sq, batch_format="pyarrow"),
+                           ["role"], {"n": ("*", "count"),
+                                      "s1": ("h", "sum"),
+                                      "s2": ("hh", "sum")}, n_buckets=2)
+    j = bucket_join(m, stats, on="role", how="inner", n_buckets=2)
+
+    def flag(t: pa.Table) -> pa.Table:
+        h = t["total_hits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s1 = t["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = t["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n * h - s1
+        var_num = n * s2 - s1 * s1
+        keep = (var_num > 0) & (num * num >= 4 * var_num)
+        z = np.round(num[keep].astype(np.float64)
+                     / np.sqrt(var_num[keep].astype(np.float64)), 6)
+        return pa.table({"role": t["role"].filter(pa.array(keep)),
+                         "minute": t["minute"].filter(pa.array(keep)),
+                         "total_hits": pa.array(h[keep]),
+                         "z": pa.array(z, pa.float64())})
+
+    return j.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_MINUTE_ANOMALIES = _PRELUDE + """
+, m as (select role, minute, count(*) as total_hits
+        from f group by role, minute),
+st as (select role, count(*) as n, sum(total_hits) as s1,
+         sum(total_hits * total_hits) as s2
+       from m group by role)
+select m.role, minute, total_hits,
+  round((n * total_hits - s1)
+          / sqrt(cast(n * s2 - s1 * s1 as double)), 6) as z
+from m join st on m.role = st.role
+where n * s2 - s1 * s1 > 0
+  and (n * total_hits - s1) * (n * total_hits - s1)
+        >= 4 * (n * s2 - s1 * s1)"""
+
+
+# ==========================================================================
 # registry
 # ==========================================================================
 
@@ -3252,6 +3397,9 @@ QUERIES = {
                              SQL_MODE_PATTERN_BY_ROLE),
     "tool_sequences": (q_tool_sequences, SQL_TOOL_SEQUENCES),
     "dow_totals": (q_dow_totals, SQL_DOW_TOTALS),
+    "minute_deltas": (q_minute_deltas, SQL_MINUTE_DELTAS),
+    "minute_anomalies": (q_minute_anomalies, SQL_MINUTE_ANOMALIES),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "top_patterns": (q_top_patterns, SQL_TOP_PATTERNS),
     "pattern_detail": (q_pattern_detail, SQL_PATTERN_DETAIL),
     "distribution_hour": (q_distribution_hour, SQL_DISTRIBUTION_HOUR),
