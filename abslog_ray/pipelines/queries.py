@@ -3377,6 +3377,117 @@ where n * s2 - s1 * s1 > 0
 
 
 # ==========================================================================
+# graph analytics over the near-dup pair graph
+# ==========================================================================
+
+def q_degree_distribution(sf_dir: str):
+    """Degree histogram of the ≥0.5-Jaccard near-dup graph — the
+    standard first look at a dup-cluster structure (how many docs have
+    0, 1, 2… near-dup partners).  Per-node degree via one two-phase
+    aggregate over the symmetrized pair list; zero-degree docs rejoin
+    through a union of explicit zeros (cheaper than an outer join: the
+    zeros table is one int64 column), then a keys-sized histogram
+    aggregate."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(_docs(sf_dir), n=3, tau=0.5)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        both = np.concatenate([a, b])
+        return pa.table({"doc_id": pa.array(both),
+                         "one": pa.array(np.ones(len(both), np.int64))})
+
+    def zeros(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "one": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    ends = pairs.map_batches(sym, batch_format="pyarrow").union(
+        _docs(sf_dir).map_batches(zeros, batch_format="pyarrow"))
+    deg = hash_aggregate(ends, ["doc_id"], {"degree": ("one", "sum")},
+                         n_buckets=8)
+    return hash_aggregate(deg, ["degree"], {"n_nodes": ("*", "count")},
+                          n_buckets=2)
+
+
+SQL_DEGREE_DISTRIBUTION = f"""
+with p as ({SQL_JACCARD_PAIRS}),
+ends as (select doc_a as doc_id from p
+         union all select doc_b from p),
+deg as (
+  select d.doc_id, cast(coalesce(e.c, 0) as bigint) as degree
+  from documents d left join (
+    select doc_id, count(*) as c from ends group by doc_id) e
+    on e.doc_id = d.doc_id)
+select degree, count(*) as n_nodes from deg group by degree"""
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Loop-unrolled DuckDB mirror of stages.graph.pagerank's exact
+    fixed-point recurrence (PR_SCALE grid, floor division — all
+    quantities positive so ``//`` agrees between numpy and DuckDB)."""
+    ctes = [f"""
+consts as (
+  select count(*) as n,
+    (3 * cast(1000000000 as bigint)) // (20 * count(*)) as base_v,
+    cast(1000000000 as bigint) // count(*) as init_v
+  from documents),
+pr0 as (select doc_id, (select init_v from consts) as pr
+        from documents)"""]
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+pr{k} as (
+  select d.doc_id,
+    (select base_v from consts) + 17 * coalesce(s.inc, 0) // 20 as pr
+  from documents d left join (
+    select e.v as doc_id, sum(p.pr // g.degree) as inc
+    from sym e
+    join {prev} p on p.doc_id = e.u
+    join deg g on g.doc_id = e.u
+    group by e.v) s on s.doc_id = d.doc_id)""")
+        prev = f"pr{k}"
+    return (f"""
+with pairs as ({SQL_JACCARD_PAIRS}),
+sym as (select doc_a as u, doc_b as v from pairs
+        union all select doc_b, doc_a from pairs),
+deg as (select u as doc_id, count(*) as degree from sym group by u),
+{','.join(ctes)}
+select doc_id, cast(pr as bigint) as pr,
+  round(pr / 1000000000.0, 6) as pr_score
+from {prev}""")
+
+
+def q_pagerank(sf_dir: str):
+    """5-iteration PageRank over the near-dup pair graph (damping
+    17/20, teleport 3/20) in exact fixed-point int64 arithmetic — see
+    stages.graph.pagerank for the recurrence and the per-iteration
+    one-keyed-shuffle scale shape.  pr_score is ONE mirrored division
+    of the exact scaled value."""
+    from abslog_ray.stages.dedup import jaccard_pairs
+    from abslog_ray.stages.graph import pagerank
+
+    pairs = jaccard_pairs(_docs(sf_dir), n=3, tau=0.5)
+    pr = pagerank(pairs, _docs(sf_dir), src="doc_a", dst="doc_b",
+                  id_col="doc_id", iters=5, n_buckets=8)
+
+    def canon(t: pa.Table) -> pa.Table:
+        p = t["pr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t["id"], pa.int64()),
+            "pr": pa.array(p),
+            "pr_score": pa.array(np.round(p / 1_000_000_000.0, 6),
+                                 pa.float64())})
+
+    return pr.map_batches(canon, batch_format="pyarrow")
+
+
+SQL_PAGERANK = _pagerank_sql(iters=5)
+
+
+# ==========================================================================
 # registry
 # ==========================================================================
 
@@ -3455,6 +3566,9 @@ QUERIES = {
     "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
     "near_dedup_corpus": (q_near_dedup_corpus, SQL_NEAR_DEDUP_CORPUS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "degree_distribution": (q_degree_distribution,
+                            SQL_DEGREE_DISTRIBUTION),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
     "quality_filtered": (q_quality_filtered, SQL_QUALITY_FILTERED),
     "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

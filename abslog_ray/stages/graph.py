@@ -222,3 +222,105 @@ def connected_components_star(edges, nodes, src: str = "a", dst: str = "b",
         as_labels, batch_format="pyarrow")
     return hash_aggregate(selfs.union(neigh), ["id"],
                           {"comp": ("comp", "min")}, n_buckets=n_buckets)
+
+
+PR_SCALE = 1_000_000_000           # fixed-point denominator (1e-9 grid)
+
+
+def pagerank(edges, nodes, src: str = "a", dst: str = "b",
+             id_col: str = "id", iters: int = 5, n_buckets: int = 16):
+    """Fixed-iteration PageRank over the undirected (symmetrized) edge
+    graph with EXACT fixed-point integer semantics — every quantity is
+    an int64 multiple of 1/PR_SCALE, so the distributed sums are
+    associative (no float-order drift) and a SQL oracle can mirror the
+    recurrence bit-for-bit:
+
+        pr_0(v)   = PR_SCALE // N
+        send(u→v) = pr_k(u) // deg(u)            (u's mass split evenly)
+        pr_{k+1}(v) = (3*PR_SCALE)//(20*N) + (17 * Σ_in send) // 20
+
+    i.e. damping 0.85 = 17/20 and teleport 0.15 = 3/20 as integer
+    ratios with floor division (all quantities positive, so numpy
+    ``//`` == DuckDB ``//``).  Dangling mass (floor remainders and
+    degree-0 nodes) is dropped, not redistributed — the spec both sides
+    compute.  Returns (id, pr) with pr the scaled int64.
+
+    Scale shape per iteration: ONE keyed shuffle — the degree-annotated
+    edge list (built once, materialized) joins the current pr vector on
+    the edge source, and the incoming mass reduces through the
+    two-phase hash_aggregate; zero-inflow nodes rejoin via a union of
+    explicit zeros (no driver-side node pull at any point; the only
+    driver scalar is N)."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.compute.cast(t[src], pa.int64()),
+            "b": pa.compute.cast(t[dst], pa.int64()),
+        })
+
+    eds = _canon_dedup(edges.map_batches(to_ab, batch_format="pyarrow"),
+                       n_buckets)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b]).astype(np.int64)),
+            "v": pa.array(np.concatenate([b, a]).astype(np.int64)),
+        })
+
+    sym_eds = eds.map_batches(sym, batch_format="pyarrow").repartition(
+        n_buckets).materialize()
+    deg = hash_aggregate(sym_eds, ["u"], {"degree": ("*", "count")},
+                         n_buckets=n_buckets)
+    # degree-annotated edges: built ONCE, reused every iteration
+    sym_deg = bucket_join(sym_eds, deg, on="u", how="inner",
+                          n_buckets=n_buckets).repartition(
+        n_buckets).materialize()
+
+    n_nodes = int(nodes.count())
+    base = (3 * PR_SCALE) // (20 * n_nodes)
+    pr0 = PR_SCALE // n_nodes
+
+    def init_pr(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"id": pa.array(ids),
+                         "pr": pa.array(np.full(len(ids), pr0, np.int64))})
+
+    def zeros(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["id"],
+                         "inc": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    pr = nodes.map_batches(init_pr, batch_format="pyarrow").repartition(
+        n_buckets).materialize()
+
+    for _it in range(iters):
+        msgs = bucket_join(
+            sym_deg,
+            pr.map_batches(lambda t: pa.table({"u": t["id"],
+                                               "pr_u": t["pr"]}),
+                           batch_format="pyarrow"),
+            on="u", how="inner", n_buckets=n_buckets)
+
+        def send(t: pa.Table) -> pa.Table:
+            p = t["pr_u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"id": pa.compute.cast(t["v"], pa.int64()),
+                             "inc": pa.array(p // d)})
+
+        inc = hash_aggregate(
+            msgs.map_batches(send, batch_format="pyarrow").union(
+                pr.map_batches(zeros, batch_format="pyarrow")),
+            ["id"], {"inc": ("inc", "sum")}, n_buckets=n_buckets)
+
+        def step(t: pa.Table) -> pa.Table:
+            s = t["inc"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"id": pa.compute.cast(t["id"], pa.int64()),
+                             "pr": pa.array(base + (17 * s) // 20)})
+
+        pr = inc.map_batches(step, batch_format="pyarrow").repartition(
+            n_buckets).materialize()
+
+    return pr

@@ -95,3 +95,44 @@ def test_kmeans_empty_cluster_raises():
                        "embedding": list(emb)})
     with pytest.raises(ValueError, match="emptied"):
         kmeans_assign(ray.data.from_pandas(df), k=3, iters=1, scale=1000)
+
+
+def _pr_reference(edges, n, iters):
+    """Single-process mirror of stages.graph.pagerank's integer rules."""
+    from abslog_ray.stages.graph import PR_SCALE
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    base = (3 * PR_SCALE) // (20 * n)
+    pr = {i: PR_SCALE // n for i in range(n)}
+    for _ in range(iters):
+        inc = {i: 0 for i in range(n)}
+        for u, nbrs in adj.items():
+            d = len(nbrs)
+            for v in nbrs:
+                inc[v] += pr[u] // d
+        pr = {i: base + (17 * inc[i]) // 20 for i in range(n)}
+    return pr
+
+
+def test_pagerank_matches_local_reference():
+    """Star + chain + isolated nodes, shuffled multi-block input: the
+    distributed fixed-point PageRank equals the single-process mirror
+    exactly (int64, no float tolerance), and the hub out-ranks leaves."""
+    from abslog_ray.stages.graph import pagerank
+
+    # hub 0 with leaves 1..5, chain 6-7-8, isolated 9
+    edges = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8)]
+    want = _pr_reference(edges, n=10, iters=4)
+
+    eds = pd.DataFrame({"a": [e[0] for e in edges],
+                        "b": [e[1] for e in edges]}).astype(np.int64)
+    nodes = pd.DataFrame({"id": np.arange(10, dtype=np.int64)})
+    got = pagerank(ray.data.from_pandas(eds).repartition(3),
+                   ray.data.from_pandas(nodes).repartition(2),
+                   iters=4, n_buckets=4).to_pandas()
+    got = dict(zip(got["id"].astype(int), got["pr"].astype(int)))
+    assert got == want
+    assert got[0] > max(got[i] for i in range(1, 6))   # hub > leaves
+    assert got[9] == min(got.values())                 # isolated floor
