@@ -3377,6 +3377,145 @@ where n * s2 - s1 * s1 > 0
 
 
 # ==========================================================================
+# corpus indexing + embedding compression
+# ==========================================================================
+
+def q_postings(sf_dir: str):
+    """Inverted-index build — the retrieval-side sibling of the dedup
+    shingle exchange: per token, the exact document frequency plus a
+    BOUNDED postings sample (the 10 smallest doc_ids, comma-joined).
+    The bound is what keeps a head token from becoming a corpus-sized
+    string: min-10 is a semilattice, so each batch pre-trims to its own
+    10 smallest candidates (≤ 10 rows per token per batch ever ship)
+    and carries the batch's distinct-doc count on a sentinel row; the
+    single keyed shuffle then merges counts exactly and re-trims the
+    candidate union.  Docs never span batches ⇒ batch-distinct pairs
+    are globally distinct ⇒ summed partial dfs are exact."""
+    from abslog_ray.functions.text import _tokens_with_parents
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens_with_parents(batch["text"])
+        ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+        pair = np.unique(parents.astype(np.int64) * len(uniq) + codes)
+        df = pd.DataFrame({"token": uniq.to_numpy()[pair % len(uniq)],
+                           "doc_id": ids[pair // len(uniq)]})
+        # ≤ 10 smallest candidate ids per token (w=0 rows) + one count
+        # sentinel per token (doc_id=-1, w=partial df)
+        cand = df.sort_values(["token", "doc_id"],
+                              kind="mergesort").groupby(
+            "token", sort=False).head(10)
+        cnt = df.groupby("token", sort=False).size().reset_index(name="w")
+        cnt["doc_id"] = np.int64(-1)
+        cand = cand.assign(w=np.int64(0))
+        out = pd.concat([cand, cnt[["token", "doc_id", "w"]]],
+                        ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[KEY_BUCKET])
+        g = df.groupby("token", sort=False)
+        rows = []
+        for tok, grp in g:
+            ids = np.sort(grp.loc[grp["doc_id"] >= 0,
+                                  "doc_id"].to_numpy())[:10]
+            rows.append((tok, int(grp["w"].sum()),
+                         ",".join(str(i) for i in ids)))
+        out = pd.DataFrame(rows, columns=["token", "df", "postings"])
+        return pd.DataFrame({"token": out["token"].astype(str),
+                             "df": out["df"].astype(np.int64),
+                             "postings": out["postings"].astype(str)})
+
+    p = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    p = p.map_batches(add_key_bucket_fn(8, keys=["token"]),
+                      batch_format="pyarrow")
+    return p.groupby(KEY_BUCKET).map_groups(build, batch_format="pandas")
+
+
+SQL_POSTINGS = r"""
+with tk as (
+  select doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) as token
+  from documents),
+d as (select distinct token, doc_id from tk)
+select token, count(*) as df,
+  array_to_string(array_slice(list_sort(list(doc_id)), 1, 10), ',')
+    as postings
+from d group by token"""
+
+
+def q_quantized_embeddings(sf_dir: str):
+    """Symmetric int8 embedding quantization — the compression step a
+    100 TB vector corpus runs before ANN serving (4× smaller + integer
+    dot products).  Map-only (zero shuffle): per row the fp32 vector
+    casts to double, scales by 127/max|x|, and quantizes half-up
+    (floor(x+0.5) — mirrors for negatives too, unlike banker's
+    rounding); emitted as exact int64 audit sums (Σq, Σq²) plus the
+    rounded scale so the oracle compares integers, not floats."""
+
+    def quant(t: pa.Table) -> pa.Table:
+        from abslog_ray.stages.similarity import _stack_embeddings
+        m = _stack_embeddings(t)                      # float64 (n, d)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = np.abs(m).max(axis=1)
+        keep = mx > 0
+        q = np.floor(127.0 * m[keep] / mx[keep, None] + 0.5).astype(
+            np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids[keep]),
+            "max_abs": pa.array(np.round(mx[keep], 6), pa.float64()),
+            "qsum": pa.array(q.sum(axis=1)),
+            "qnorm": pa.array((q * q).sum(axis=1))})
+
+    return _emb(sf_dir).map_batches(quant, batch_format="pyarrow")
+
+
+SQL_QUANTIZED_EMBEDDINGS = """
+with u as (
+  select vec_id, cast(unnest(embedding) as double) as x from embeddings),
+m as (select vec_id, max(abs(x)) as mx from u group by vec_id)
+select u.vec_id, round(mx, 6) as max_abs,
+  cast(sum(cast(floor(127 * x / mx + 0.5) as bigint)) as bigint) as qsum,
+  cast(sum(cast(floor(127 * x / mx + 0.5) as bigint)
+      * cast(floor(127 * x / mx + 0.5) as bigint)) as bigint) as qnorm
+from u join m using (vec_id)
+where mx > 0
+group by u.vec_id, mx"""
+
+
+def q_edit_dupes(sf_dir: str):
+    """Edit-distance near-dup pairs (length-banded Levenshtein ≤ 5 over
+    40-char prefixes) — see stages.dedup.edit_distance_pairs for the
+    band rule and the pair-vectorized DP.  Only id + 40-char prefix
+    ever ship; the full text column stays in the read."""
+    from abslog_ray.stages.dedup import edit_distance_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"])
+    return edit_distance_pairs(docs, prefix_len=40, band_width=16,
+                               max_dist=5, n_buckets=8)
+
+
+SQL_EDIT_DUPES = """
+select a.doc_id as doc_a, b.doc_id as doc_b,
+  cast(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+       as bigint) as dist
+from documents a
+join documents b
+  on a.n_chars // 16 = b.n_chars // 16 and a.doc_id < b.doc_id
+where levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 5"""
+
+
+# ==========================================================================
 # graph analytics over the near-dup pair graph
 # ==========================================================================
 
@@ -3569,6 +3708,10 @@ QUERIES = {
     "degree_distribution": (q_degree_distribution,
                             SQL_DEGREE_DISTRIBUTION),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "postings": (q_postings, SQL_POSTINGS),
+    "edit_dupes": (q_edit_dupes, SQL_EDIT_DUPES),
+    "quantized_embeddings": (q_quantized_embeddings,
+                             SQL_QUANTIZED_EMBEDDINGS),
     "quality_filtered": (q_quality_filtered, SQL_QUALITY_FILTERED),
     "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

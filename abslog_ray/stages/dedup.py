@@ -818,3 +818,114 @@ def contamination(train_ds, test_ds, n: int = 3, id_col="doc_id",
                        n_buckets=n_buckets)
     return hash_aggregate(hits, [id_col], {"n_shared": ("*", "count")},
                           n_buckets=n_buckets)
+
+
+def _lev_matrix_pairs(A: np.ndarray, la: np.ndarray,
+                      B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Levenshtein distance for m string pairs at once: A/B are int32
+    codepoint matrices (m, L) padded with -1/-2 (distinct sentinels so
+    padding never fakes a match), la/lb the true lengths.  One DP sweep
+    vectorized ACROSS pairs (the i/j loops are over the ≤L prefix
+    length, not over pairs); each pair's answer row is snapshotted when
+    the row index passes its true length, so mixed-length batches share
+    one sweep."""
+    m, L = A.shape
+    prev = np.tile(np.arange(L + 1, dtype=np.int32), (m, 1))
+    snap = prev.copy()                          # correct for la == 0
+    for i in range(1, L + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, L + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int32)
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1,
+                       out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + cost, out=cur[:, j])
+        hit = la == i
+        if hit.any():
+            snap[hit] = cur[hit]
+        prev = cur
+    return snap[np.arange(m), lb]
+
+
+def _codepoints(texts, width: int) -> tuple:
+    """(int32 (n, width) codepoint matrix, true-length array) for the
+    ≤width-char prefixes of ``texts`` (padding sentinel -1)."""
+    n = len(texts)
+    out = np.full((n, width), -1, dtype=np.int32)
+    lens = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        p = t[:width]
+        lens[i] = len(p)
+        if p:
+            out[i, :len(p)] = np.frombuffer(
+                p.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+    return out, lens
+
+
+def edit_distance_pairs(ds, prefix_len: int = 40, band_width: int = 16,
+                        max_dist: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text", len_col: str = "n_chars",
+                        max_band_group: int = 2_000,
+                        n_buckets: int = 16):
+    """Edit-distance near-dup pairs: docs band by ``len_col //
+    band_width`` (similar-length docs — the standard length-blocking
+    heuristic; cross-band pairs are a DOCUMENTED recall trade, the
+    oracle applies the same band rule), and within each band every
+    pair's Levenshtein distance over the first ``prefix_len`` chars is
+    computed by the pair-vectorized DP sweep (the i/j loops are O(L²)
+    NUMPY ops over the whole pair block, never a Python loop over
+    pairs).  Emits (doc_a, doc_b, dist) for dist ≤ max_dist, doc_a <
+    doc_b.
+
+    Scale shape: one keyed shuffle on the band (only id + prefix ship —
+    the prefix is the only text that ever leaves the read); bands are
+    length-homogeneous so skew is bounded by the corpus length
+    distribution, and a degenerate band larger than ``max_band_group``
+    is skipped with a WARN (parity with jaccard_pairs / simhash_pairs /
+    lsh_candidates)."""
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pref = pc.utf8_slice_codeunits(t[text_col], 0, prefix_len)
+        return pa.table({"band": pa.array(ln // band_width),
+                         "id": pa.array(ids), "pref": pref})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[KEY_BUCKET])
+        out_a, out_b, out_d = [], [], []
+        for _band, grp in df.groupby("band", sort=False):
+            m = len(grp)
+            if m < 2:
+                continue
+            if m > max_band_group:
+                import logging
+                logging.getLogger("abslog_ray").warning(
+                    "edit_distance_pairs: band group of %d docs exceeds "
+                    "max_band_group=%d — skipped (recall loss; raise the "
+                    "cap or narrow band_width)", m, max_band_group)
+                continue
+            order = np.argsort(grp["id"].to_numpy(), kind="stable")
+            ids = grp["id"].to_numpy()[order]
+            mat, lens = _codepoints(grp["pref"].tolist(), prefix_len)
+            mat, lens = mat[order], lens[order]
+            ia, ib = np.triu_indices(m, k=1)
+            d = _lev_matrix_pairs(mat[ia], lens[ia], mat[ib], lens[ib])
+            keep = d <= max_dist
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+            out_d.append(d[keep].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "dist": np.concatenate(out_d)})
+
+    p = ds.map_batches(prep, batch_format="pyarrow")
+    p = p.map_batches(add_key_bucket_fn(n_buckets, keys=["band"]),
+                      batch_format="pyarrow")
+    return p.groupby(KEY_BUCKET).map_groups(pairs, batch_format="pandas")

@@ -791,3 +791,57 @@ def test_char_entropy_batch_edges():
     assert got["doc_id"].tolist() == [1, 3, 4]   # empty doc emits no row
     assert abs(got["entropy"].iloc[0] - 0.918296) < 1e-9
     assert got["entropy"].iloc[2] == 0.0         # single-char doc
+
+
+def _lev_scalar(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_lev_matrix_pairs_matches_scalar():
+    """Pair-vectorized Levenshtein == scalar DP on random mixed-length
+    strings incl. empties and non-ASCII."""
+    import numpy as np
+    from abslog_ray.stages.dedup import _codepoints, _lev_matrix_pairs
+
+    rng = np.random.default_rng(7)
+    alpha = list("abcdé✓ ")
+    strs = ["".join(rng.choice(alpha, size=rng.integers(0, 12)))
+            for _ in range(40)]
+    A = strs[:20]
+    B = strs[20:]
+    ma, la = _codepoints(A, 12)
+    mb, lb = _codepoints(B, 12)
+    got = _lev_matrix_pairs(ma, la, mb, lb)
+    want = [_lev_scalar(a, b) for a, b in zip(A, B)]
+    assert got.tolist() == want
+
+
+def test_edit_distance_pairs_plants_near_dup():
+    """A planted 2-edit pair in the same length band is found with the
+    exact distance; a cross-band pair is not (documented band rule)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from abslog_ray.stages.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the dog"
+    near = "the quick crown fox jumps over the dig"       # dist 2
+    far = "zzz"
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [base, near, far, base + " " + base],
+        "n_chars": np.array([len(base), len(near), len(far),
+                             2 * len(base) + 1], dtype=np.int64)})
+    out = edit_distance_pairs(ray.data.from_pandas(df).repartition(2),
+                              prefix_len=40, band_width=16, max_dist=5,
+                              n_buckets=4).to_pandas()
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert [(0, 1, 2)] == list(
+        out[["doc_a", "doc_b", "dist"]].itertuples(index=False))
