@@ -708,13 +708,39 @@ def simhash_pairs(ds, k: int = 3, bands: int = 4, id_col="doc_id",
     group size while emitting only the ham ≤ k survivors.  hash_fn="md5"
     mirrors DuckDB (``bit_count(xor(...))`` oracle); "sip" is the
     vectorized scale default."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        sh = _simhash_u64(batch, id_col, text_col, hash_fn)
+        return pa.table({id_col: batch[id_col],
+                         "fp": pa.array(sh.astype(np.int64))})
+
+    return hamming_fp_pairs(
+        ds.map_batches(fp, batch_format="pyarrow"), fp_col="fp",
+        id_col=id_col, k=k, bands=bands, n_buckets=n_buckets,
+        max_band_group=max_band_group, pair_tile=pair_tile,
+        warn_name="simhash_pairs")
+
+
+def hamming_fp_pairs(ds, fp_col: str = "fp", id_col: str = "doc_id",
+                     k: int = 3, bands: int = 4, n_buckets: int = 32,
+                     max_band_group: int = 10_000,
+                     pair_tile: int = 1 << 20,
+                     warn_name: str = "hamming_fp_pairs"):
+    """Banded Hamming pair search over a PRECOMPUTED 64-bit fingerprint
+    column (int64 bit-reinterpretation of the u64) — the shared engine
+    behind ``simhash_pairs`` (text) and ``multimodal.image_dupes``
+    (perceptual image hashes).  Pigeonhole-exact for k < bands; same
+    WARN-logged ``max_band_group`` guard and tiled popcount verify as
+    documented on ``simhash_pairs``.  Emits (doc_a, doc_b, hamming),
+    doc_a < doc_b."""
     assert 0 <= k < bands, "banded search is exact only for k < bands"
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
     bmask = np.uint64((1 << width) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
-        sh = _simhash_u64(batch, id_col, text_col, hash_fn)
+        sh = batch[fp_col].to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         n = len(ids)
         vals = np.empty(bands * n, dtype=np.int64)
@@ -740,9 +766,9 @@ def simhash_pairs(ds, k: int = 3, bands: int = 4, id_col="doc_id",
         if skipped:
             import logging
             logging.getLogger("abslog_ray.dedup").warning(
-                "simhash_pairs: skipped %d band group(s) larger than %d "
+                "%s: skipped %d band group(s) larger than %d "
                 "(max seen: %d) — pairs inside them are not searched",
-                skipped, max_band_group, int(counts.max()))
+                warn_name, skipped, max_band_group, int(counts.max()))
         outs = []
         start = 0
         for m in counts:

@@ -39,6 +39,7 @@ import json
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from abslog_ray.stages.jpeg import decode_jpeg, encode_jpeg, synth_jpeg  # noqa: F401 (re-exported)
 
@@ -549,3 +550,74 @@ def synth_sine_wav(freq_hz: float, n_frames: int, rate: int = 8000,
         f.setframerate(rate)
         f.writeframes(samples.tobytes())
     return buf.getvalue()
+
+
+class ImageAHasher:
+    """Actor-pool perceptual average-hash (aHash) stage: decode
+    PPM/PNG/baseline-JPEG → integer grayscale (channel-sum floor mean)
+    → ``grid``×``grid`` nearest resize → one bit per cell,
+    bit=1 iff cell·n² > Σcells (strict integer comparison — no float
+    anywhere, so the hash is bit-reproducible across platforms).
+    Emits an int64 ``ahash`` column (bit-reinterpreted u64, the
+    convention ``dedup.hamming_fp_pairs`` consumes); non-image rows get
+    ahash null.  Near-identical images (re-encodes, ±small noise,
+    resizes of block-structured content) land within a few bits."""
+
+    def __init__(self, grid: int = 8):
+        assert grid * grid == 64, "ahash packs into one u64"
+        self.grid = grid
+
+    def _hash_one(self, payload: bytes):
+        fmt = _sniff(payload)
+        if fmt == "ppm":
+            img = decode_ppm(payload)
+        elif fmt == "png":
+            img = decode_png(payload)
+        elif fmt == "jpeg":
+            img = decode_jpeg(payload)
+        else:
+            return None
+        c = img.shape[2]
+        gray = img.astype(np.int64).sum(axis=2) // c
+        cells = resize_nearest(gray[:, :, None].astype(np.uint8),
+                               self.grid, self.grid)[:, :, 0].astype(
+            np.int64).ravel()
+        bits = (cells * len(cells) > cells.sum()).astype(np.uint64)
+        return int((bits << np.arange(64, dtype=np.uint64)).sum(
+            dtype=np.uint64).astype(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [self._hash_one(p)
+                  for p in batch["payload"].to_pylist()]
+        return batch.append_column("ahash", pa.array(hashes, pa.int64()))
+
+
+def image_ahash(ds, grid: int = 8, concurrency=(1, 4),
+                batch_size: int = 64):
+    return ds.map_batches(ImageAHasher, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"grid": grid})
+
+
+def image_dupes(ds, k: int = 3, bands: int = 4, id_col: str = "item_id",
+                grid: int = 8, n_buckets: int = 16,
+                max_band_group: int = 10_000):
+    """Perceptual near-dup image pair search: aHash fingerprints (actor
+    pool, payloads never leave the decode stage) → banded Hamming join
+    (``dedup.hamming_fp_pairs`` — pigeonhole-exact for k < bands, WARN-
+    capped band groups).  The wide exchange ships only (id, 64-bit
+    hash) rows."""
+    from abslog_ray.stages.dedup import hamming_fp_pairs
+
+    hashed = image_ahash(ds, grid=grid)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t["ahash"])
+        return pa.table({id_col: t[id_col].filter(m),
+                         "fp": t["ahash"].filter(m)})
+
+    fps = hashed.map_batches(keep, batch_format="pyarrow")
+    return hamming_fp_pairs(fps, fp_col="fp", id_col=id_col, k=k,
+                            bands=bands, n_buckets=n_buckets,
+                            max_band_group=max_band_group,
+                            warn_name="image_dupes")

@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "embedding_covariance", "dow_totals", "big_orders",
     "p90_value_by_type", "cube_hits", "repeat_users",
     "value_stddev_by_type",
+    # round-4 second wave
+    "cohort_retention", "minute_deltas", "minute_anomalies",
+    "degree_distribution", "pagerank", "postings", "edit_dupes",
+    "quantized_embeddings",
 ]
 
 

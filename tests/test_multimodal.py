@@ -276,3 +276,64 @@ def test_audio_features_sine_closed_form():
     assert np.isnan(r2["spectral_centroid_hz"]) and np.isnan(r2["rms"])
     assert r2["payload_bytes"] > 0
     assert "payload" not in out.columns
+
+
+def test_image_ahash_invariances():
+    """aHash is identical under re-encode (PNG<->PPM of the same
+    pixels), within a couple bits under tiny noise, and far for
+    structurally different images; non-image rows hash to null."""
+    from abslog_ray.stages.multimodal import (
+        encode_png, encode_ppm, image_ahash, synth_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    # block-structured image: left dark, right bright (stable under
+    # resize and small noise)
+    img = np.zeros((64, 64, 3), dtype=np.uint8)
+    img[:, 32:] = 200
+    noisy = np.clip(img.astype(np.int16)
+                    + rng.integers(-2, 3, img.shape), 0, 255).astype(
+        np.uint8)
+    inv = 200 - img                                  # structural opposite
+    rows = pa.table({
+        "item_id": pa.array(np.arange(5, dtype=np.int64)),
+        "payload": pa.array([encode_png(img), encode_ppm(img),
+                             encode_png(noisy), encode_png(inv),
+                             synth_wav(100, seed=1)], pa.binary()),
+    })
+    out = (image_ahash(ray.data.from_arrow(rows), concurrency=(1, 2),
+                       batch_size=2)
+           .to_pandas().sort_values("item_id", ignore_index=True))
+    h = out["ahash"]
+    assert h.iloc[0] == h.iloc[1]                    # re-encode invariant
+    ham = lambda a, b: bin((int(a) ^ int(b)) & (2**64 - 1)).count("1")
+    assert ham(h.iloc[0], h.iloc[2]) <= 2            # tiny noise
+    assert ham(h.iloc[0], h.iloc[3]) >= 50           # opposite structure
+    assert h.isna().iloc[4]                          # non-image -> null
+
+
+def test_image_dupes_finds_planted_pair():
+    from abslog_ray.stages.multimodal import encode_png, image_dupes
+
+    rng = np.random.default_rng(9)
+    base = np.zeros((32, 32, 3), dtype=np.uint8)
+    base[:16] = 230                                  # top bright
+    near = np.clip(base.astype(np.int16)
+                   + rng.integers(-2, 3, base.shape), 0, 255).astype(
+        np.uint8)
+    others = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+              for _ in range(6)]
+    payloads = [encode_png(base), encode_png(near)] + \
+        [encode_png(o) for o in others]
+    rows = pa.table({
+        "item_id": pa.array(np.arange(len(payloads), dtype=np.int64)),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    got = image_dupes(ray.data.from_arrow(rows), k=3, bands=4,
+                      n_buckets=4).to_pandas()
+    pairs = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    assert (0, 1) in pairs
+    # the planted pair's distance is the min over found pairs
+    d01 = got.loc[(got["doc_a"] == 0) & (got["doc_b"] == 1),
+                  "hamming"].iloc[0]
+    assert d01 <= 2
