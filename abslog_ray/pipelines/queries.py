@@ -3248,17 +3248,7 @@ def q_cohort_retention(sf_dir: str):
     from abslog_ray.stages.aggregate import hash_aggregate
     from abslog_ray.stages.join import bucket_join
 
-    ev = ray.data.read_parquet(_events(sf_dir), columns=["user_id", "ts"])
-
-    def days(t: pa.Table) -> pa.Table:
-        return pa.table({"user_id": t["user_id"],
-                         "day": pc.floor_temporal(t["ts"], unit="day")})
-
-    act = hash_aggregate(ev.map_batches(days, batch_format="pyarrow"),
-                         ["user_id", "day"], {"n": ("*", "count")},
-                         n_buckets=8)
-    act = act.map_batches(lambda t: t.select(["user_id", "day"]),
-                          batch_format="pyarrow").materialize()
+    act = _user_day_distinct(sf_dir).materialize()
     firsts = hash_aggregate(act, ["user_id"],
                             {"cohort_day": ("day", "min")}, n_buckets=8)
     j = bucket_join(act, firsts, on="user_id", how="inner", n_buckets=8)
@@ -3374,6 +3364,183 @@ from m join st on m.role = st.role
 where n * s2 - s1 * s1 > 0
   and (n * total_hits - s1) * (n * total_hits - s1)
         >= 4 * (n * s2 - s1 * s1)"""
+
+
+# ==========================================================================
+# set-difference, collocations, sliding-window distinct
+# ==========================================================================
+
+def _user_day_distinct(sf_dir: str):
+    """Distinct (user_id, day) activity pairs — the shared first pass
+    of ``cohort_retention`` / ``rolling_active_users`` /
+    ``streak_ends`` (raw events reduce once through the two-phase
+    aggregate; day = timestamp floor)."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    ev = ray.data.read_parquet(_events(sf_dir), columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.floor_temporal(t["ts"], unit="day")})
+
+    act = hash_aggregate(ev.map_batches(days, batch_format="pyarrow"),
+                         ["user_id", "day"], {"n": ("*", "count")},
+                         n_buckets=8)
+    return act.map_batches(lambda t: t.select(["user_id", "day"]),
+                           batch_format="pyarrow")
+
+
+def _pack_user_day(t: pa.Table, shift_days: int = 0) -> pa.Table:
+    """Injective (user_id, day) → int64 key: (u << 20) | epoch_day
+    (epoch_day < 2^20 holds until year ~4840; u < 2^43 documented).
+    ``shift_days`` packs day+shift instead — the EXCEPT trick for
+    next-day alignment."""
+    u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["day"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[D]").astype(np.int64) + shift_days
+    return t.append_column("k", pa.array((u << 20) | d))
+
+
+def q_streak_ends(sf_dir: str):
+    """Set-operation surface (EXCEPT, composite key): (user, day) pairs
+    where the user was active that day but NOT the next — streak-end
+    detection.  Both sides are the SAME distinct-activity table (built
+    once, materialized); the difference is the distributed
+    ``bucket_anti_join`` on an injective packed int64 key (one keyed
+    exchange, no broadcast — the exclusion side is corpus-sized)."""
+    from abslog_ray.stages.join import bucket_anti_join
+
+    act = _user_day_distinct(sf_dir).materialize()
+    left = act.map_batches(_pack_user_day, batch_format="pyarrow")
+    nxt = act.map_batches(
+        lambda t: _pack_user_day(t, shift_days=-1).select(["k"]),
+        batch_format="pyarrow")
+    out = bucket_anti_join(left, nxt, on="k", n_buckets=8)
+    return out.drop_columns(["k"])
+
+
+SQL_STREAK_ENDS = """
+select distinct user_id, date_trunc('day', ts) as day from events
+except
+select distinct user_id, date_trunc('day', ts) - interval 1 day as day
+from events"""
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Collocation mining: pointwise mutual information of adjacent
+    word pairs with count ≥ 5.  All frequencies are exact int64
+    (two-phase bigram + unigram counts; ONLY vocab-sized tables join —
+    two keyed bucket_joins attach each side's unigram count); the PMI
+    double is ONE mirrored expression over exact integers,
+    log2((nxy·Nt·Nt) / (Nb·nx·ny)) — the int products stay < 2^63 while
+    nxy·Nt² does (documented: at larger corpora switch both sides to
+    the log-sum form)."""
+    from abslog_ray.functions.text import bigram_counts, token_counts
+    from abslog_ray.stages.join import bucket_join
+
+    bg = bigram_counts(_docs(sf_dir), n_buckets=8)
+    tok = token_counts(_docs(sf_dir), n_buckets=8).materialize()
+    n_tok = int(tok.sum("c") or 0)
+    bg = bg.map_batches(
+        lambda t: t.rename_columns(["bigram", "nxy"]),
+        batch_format="pyarrow").materialize()
+    n_big = int(bg.sum("nxy") or 0)
+
+    def split(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["nxy"], 5))
+        parts = pc.split_pattern(t["bigram"], " ")
+        return pa.table({"bigram": t["bigram"], "nxy": t["nxy"],
+                         "x": pc.list_element(parts, 0),
+                         "y": pc.list_element(parts, 1)})
+
+    wb = bg.map_batches(split, batch_format="pyarrow")
+    jx = bucket_join(
+        wb, tok.map_batches(lambda t: pa.table({"x": t["token"],
+                                                "nx": t["c"]}),
+                            batch_format="pyarrow"),
+        on="x", how="inner", n_buckets=8)
+    jxy = bucket_join(
+        jx, tok.map_batches(lambda t: pa.table({"y": t["token"],
+                                                "ny": t["c"]}),
+                            batch_format="pyarrow"),
+        on="y", how="inner", n_buckets=8)
+
+    def pmi(t: pa.Table) -> pa.Table:
+        nxy = t["nxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nx = t["nx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ny = t["ny"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = (nxy * n_tok * n_tok).astype(np.float64)
+        den = (n_big * nx * ny).astype(np.float64)
+        val = np.round(np.log2(num / den), 6)
+        return pa.table({"bigram": t["bigram"], "nxy": pa.array(nxy),
+                         "pmi": pa.array(val, pa.float64())})
+
+    return jxy.map_batches(pmi, batch_format="pyarrow")
+
+
+SQL_PMI_BIGRAMS = r"""
+with tk as (
+  select doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') as toks
+  from documents),
+b as (
+  select unnest(list_transform(range(len(toks) - 1),
+                i -> toks[i + 1] || ' ' || toks[i + 2])) as bigram
+  from tk where len(toks) >= 2),
+bc as (select bigram, count(*) as nxy from b group by bigram),
+tf as (select unnest(toks) as tok from tk),
+tc as (select tok, count(*) as c from tf group by tok),
+consts as (select (select count(*) from tf) as nt,
+                  (select count(*) from b) as nb)
+select bigram, nxy,
+  round(log2(cast(nxy * nt * nt as double)
+             / cast(nb * xc.c * yc.c as double)), 6) as pmi
+from bc, consts
+join tc xc on xc.tok = string_split(bigram, ' ')[1]
+join tc yc on yc.tok = string_split(bigram, ' ')[2]
+where nxy >= 5"""
+
+
+def q_rolling_active_users(sf_dir: str):
+    """Sliding-window COUNT DISTINCT: per day, how many distinct users
+    were active in the trailing 7 days.  Exact and bounded: distinct
+    (user, day) pairs (two-phase) fan out ×7 to the target days they
+    cover, an inner keyed join against the distinct-days table drops
+    targets past the range, and a second two-phase distinct + count
+    collapses multi-day users — the window never re-scans raw events
+    and the expansion factor is the window length, not the data."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    act = _user_day_distinct(sf_dir).materialize()
+    day_grid = hash_aggregate(act, ["day"], {"n": ("*", "count")},
+                              n_buckets=4).drop_columns(["n"])
+
+    def fan(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]")
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = (d[:, None]
+               + np.arange(7).astype("timedelta64[D]")[None, :]).ravel()
+        return pa.table({"day": pa.array(tgt),
+                         "user_id": pa.array(np.repeat(u, 7))})
+
+    cov = act.map_batches(fan, batch_format="pyarrow")
+    cov = bucket_join(cov, day_grid, on="day", how="inner", n_buckets=8)
+    dd = hash_aggregate(cov, ["day", "user_id"], {"n": ("*", "count")},
+                        n_buckets=8)
+    return hash_aggregate(dd, ["day"], {"active_7d": ("*", "count")},
+                          n_buckets=8)
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+with act as (
+  select distinct user_id, date_trunc('day', ts) as day from events),
+days as (select distinct day from act)
+select d.day, count(distinct a.user_id) as active_7d
+from days d
+join act a on a.day between d.day - interval 6 day and d.day
+group by d.day"""
 
 
 # ==========================================================================
@@ -3697,6 +3864,9 @@ QUERIES = {
     "big_orders": (q_big_orders, SQL_BIG_ORDERS),
     "p90_value_by_type": (q_p90_value_by_type, SQL_P90_VALUE_BY_TYPE),
     "repeat_users": (q_repeat_users, SQL_REPEAT_USERS),
+    "streak_ends": (q_streak_ends, SQL_STREAK_ENDS),
+    "rolling_active_users": (q_rolling_active_users,
+                             SQL_ROLLING_ACTIVE_USERS),
     "value_stddev_by_type": (q_value_stddev_by_type,
                              SQL_VALUE_STDDEV_BY_TYPE),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -3717,6 +3887,7 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "zipf_counts": (q_zipf_counts, SQL_ZIPF_COUNTS),
     "length_filtered": (q_length_filtered, SQL_LENGTH_FILTERED),
     "normalized_texts": (q_normalized_texts, SQL_NORMALIZED_TEXTS),

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     # round-4 second wave
     "cohort_retention", "minute_deltas", "minute_anomalies",
     "degree_distribution", "pagerank", "postings", "edit_dupes",
+    "streak_ends", "pmi_bigrams", "rolling_active_users",
     "quantized_embeddings",
 ]
 
