@@ -36,6 +36,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -225,3 +226,55 @@ def read_transcripts_any(paths, format: str = "parquet", **kwargs):
     if format == "parquet":
         return read_transcripts(paths, **kwargs)
     return _READERS[format](paths, **kwargs)
+
+
+def read_transcripts_feather(paths, **kwargs):
+    """Arrow IPC (feather v2) transcript fragments → canonical schema.
+    Ray Data has no native IPC reader, so each fragment decodes INSIDE
+    its read task (``read_binary_files`` ships one payload per task;
+    ``pa.ipc.open_file`` is zero-copy over the buffer) — the driver
+    never touches the bytes, matching the other fan-in readers."""
+    ds = ray.data.read_binary_files(paths, **kwargs)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = []
+        for payload in batch["bytes"].to_pylist():
+            with pa.ipc.open_file(pa.BufferReader(payload)) as rd:
+                tables.append(rd.read_all().select(TRANSCRIPT_COLUMNS))
+        if not tables:
+            return _coerce_transcript_batch(
+                pa.table({c: pa.array([], _CANON_TYPES[c])
+                          for c in TRANSCRIPT_COLUMNS}))
+        return _coerce_transcript_batch(pa.concat_tables(tables))
+
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=1)
+
+
+def write_transcripts_jsonl(ds, path: str):
+    """Export a transcript Dataset as newline-delimited JSON fragments
+    (one file per block — the resumable-output layout; timestamps
+    serialize as epoch-µs ints so ``read_transcripts_jsonl`` round-trips
+    bit-exactly)."""
+
+    def ts_to_int(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("ts")
+        return t.set_column(i, "ts", pc.cast(t["ts"], pa.int64()))
+
+    ds.map_batches(ts_to_int, batch_format="pyarrow").write_json(path)
+
+
+def write_transcripts_csv(ds, path: str, delimiter: str = ","):
+    """Export as CSV/TSV fragments (same epoch-µs ts convention).
+    WriteOptions isn't picklable, so each write task constructs its own
+    via ``arrow_csv_args_fn``."""
+
+    def ts_to_int(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("ts")
+        return t.set_column(i, "ts", pc.cast(t["ts"], pa.int64()))
+
+    def csv_args():
+        from pyarrow import csv as pacsv
+        return {"write_options": pacsv.WriteOptions(delimiter=delimiter)}
+
+    ds.map_batches(ts_to_int, batch_format="pyarrow").write_csv(
+        path, arrow_csv_args_fn=csv_args)

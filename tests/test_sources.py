@@ -64,3 +64,44 @@ def test_jsonl_gzip_source_matches_parquet(ray_session, parquet_df):
     d = fixture_text_format("t1", format="jsonl.gz")
     ds = read_transcripts_jsonl(_paths(d, "jsonl.gz"), compression="gzip")
     pd.testing.assert_frame_equal(_frame(ds), parquet_df)
+
+
+def test_feather_source_matches_parquet(ray_session, parquet_df,
+                                        tmp_path):
+    """Arrow IPC fragments decode inside read tasks and land on the
+    canonical schema, row-identical to the parquet source."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    from abslog_ray.sources.transcripts import read_transcripts_feather
+
+    d = str(tmp_path / "ipc")
+    os.makedirs(d)
+    # split the fixture into two IPC fragments
+    t = pa.Table.from_pandas(parquet_df, preserve_index=False)
+    half = t.num_rows // 2
+    feather.write_feather(t.slice(0, half), os.path.join(d, "a.arrow"))
+    feather.write_feather(t.slice(half), os.path.join(d, "b.arrow"))
+    df = _frame(read_transcripts_feather(_paths(d, "arrow")))
+    pd.testing.assert_frame_equal(df, parquet_df)
+
+
+def test_jsonl_csv_export_roundtrip(ray_session, parquet_df, tmp_path):
+    """write_transcripts_jsonl / _csv fragments read back bit-exactly
+    through the matching reader (epoch-µs ts convention)."""
+    from abslog_ray.sources.transcripts import (
+        write_transcripts_csv,
+        write_transcripts_jsonl,
+    )
+
+    src = read_transcripts(fixture_parquet("t1"))
+    jd = str(tmp_path / "jsonl_out")
+    cd = str(tmp_path / "csv_out")
+    write_transcripts_jsonl(src, jd)
+    write_transcripts_csv(src, cd, delimiter="\t")
+    back_j = _frame(read_transcripts_jsonl(
+        sorted(glob.glob(os.path.join(jd, "*")))))
+    back_c = _frame(read_transcripts_csv(
+        sorted(glob.glob(os.path.join(cd, "*"))), delimiter="\t"))
+    pd.testing.assert_frame_equal(back_j, parquet_df)
+    pd.testing.assert_frame_equal(back_c, parquet_df)
