@@ -2512,7 +2512,7 @@ with p as (
   from events),
 s as (
   select event_type, count(*) as n,
-    sum(x) as sx, sum(y) as sy,
+    cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
     sum(x * x) as sxx, sum(y * y) as syy, sum(x * y) as sxy
   from p group by event_type)
 select event_type, n,
@@ -3367,6 +3367,125 @@ where n * s2 - s1 * s1 > 0
 
 
 # ==========================================================================
+# sketches (continued): Count-Min, grouped regression
+# ==========================================================================
+
+def q_cms_check(sf_dir: str):
+    """Count-Min Sketch contract, driver-visible (sketch family
+    completion next to MG/HLL/histogram): the merged d×w counter table
+    (partials are per-batch tables, MERGE IS ELEMENTWISE SUM — fully
+    associative, the safest distributed-sketch shape) must estimate
+    every exact top-10 token within its one-sided bound: est ≥ true
+    always, and est ≤ true + 8·N/w slack (deterministic here — data and
+    the splitmix64-keyed row hashes are fixed; the oracle asserting
+    ``cms_ok`` is the tripwire if either side drifts)."""
+    from abslog_ray.functions.text import _tokens_with_parents, token_counts
+    from abslog_ray.sketches import cms_estimate, cms_sketch
+    from abslog_ray.stages.aggregate import distributed_top_k
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, _ = _tokens_with_parents(batch["text"])
+        return pa.table({"token": pa.array(flat.astype(object),
+                                           pa.string())})
+
+    tok_ds = _docs(sf_dir).map_batches(
+        explode, batch_format="pyarrow").materialize()
+    d, w = 4, 1 << 14
+    table = cms_sketch(tok_ds, "token", d=d, w=w)
+    n_total = int(table[0].sum())               # row 0 counts every token
+    top = distributed_top_k(token_counts(_docs(sf_dir)), 10,
+                            ["c", "token"], [True, False]).to_pandas()
+    est = cms_estimate(table, top["token"].to_numpy(dtype=object))
+    true = top["c"].astype("int64").to_numpy()
+    slack = max(8 * n_total // w, 8)
+    ok = (est >= true) & (est <= true + slack)
+    return pd.DataFrame({"token": top["token"].to_numpy(dtype=object),
+                         "cnt": true, "cms_ok": ok})
+
+
+SQL_CMS_CHECK = r"""
+with tk as (
+  select unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) as token
+  from documents),
+tf as (select token, count(*) as c from tk group by token)
+select token, cast(c as bigint) as cnt, true as cms_ok
+from tf order by cnt desc, token limit 10"""
+
+
+def q_value_trend_by_type(sf_dir: str):
+    """Grouped simple linear regression (trend of event value over
+    time): per event_type the OLS slope of cents(value) against minutes
+    since the global epoch floor.  Every sufficient statistic (n, Σx,
+    Σy, Σxy, Σx²) is an EXACT int64 through the two-phase aggregate —
+    x is rebased to minutes-within-range so the products stay < 2^63 —
+    and the slope is ONE mirrored float expression over them,
+    (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) evaluated in double on BOTH sides
+    (identical operand order; DuckDB's regr_slope would compute the
+    same value a different way and is deliberately not used)."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_type", "ts", "value"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        x = (ts.astype("datetime64[m]").astype(np.int64)
+             - EPOCH_MINUTE)
+        y = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "x": pa.array(x), "y": pa.array(y),
+                         "xy": pa.array(x * y), "xx": pa.array(x * x)})
+
+    sums = hash_aggregate(
+        ev.map_batches(stats, batch_format="pyarrow"), ["event_type"],
+        {"n": ("*", "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxy": ("xy", "sum"), "sxx": ("xx", "sum")}, n_buckets=2)
+
+    def slope(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy().astype(np.float64)
+        sy = t["sy"].to_numpy().astype(np.float64)
+        sxy = t["sxy"].to_numpy().astype(np.float64)
+        sxx = t["sxx"].to_numpy().astype(np.float64)
+        val = np.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        return pa.table({"event_type": t["event_type"],
+                         "n": t["n"],
+                         "sx": t["sx"], "sy": t["sy"],
+                         "sxy": t["sxy"], "sxx": t["sxx"],
+                         "slope_cents_per_min": pa.array(val,
+                                                         pa.float64())})
+
+    return sums.map_batches(slope, batch_format="pyarrow")
+
+
+EPOCH_MINUTE = 28401120            # 2024-01-01T00:00 in epoch minutes
+
+
+SQL_VALUE_TREND_BY_TYPE = f"""
+with s as (
+  select event_type, count(*) as n,
+    cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+    cast(sum(x * y) as bigint) as sxy,
+    cast(sum(x * x) as bigint) as sxx
+  from (
+    select event_type,
+      cast(epoch(date_trunc('minute', ts)) // 60 as bigint)
+        - {EPOCH_MINUTE} as x,
+      cast(floor(value * 100 + 0.5) as bigint) as y
+    from events)
+  group by event_type)
+select event_type, n, sx, sy, sxy, sxx,
+  round((cast(n as double) * cast(sxy as double)
+         - cast(sx as double) * cast(sy as double))
+        / (cast(n as double) * cast(sxx as double)
+           - cast(sx as double) * cast(sx as double)), 6)
+    as slope_cents_per_min
+from s"""
+
+
+# ==========================================================================
 # set-difference, collocations, sliding-window distinct
 # ==========================================================================
 
@@ -3869,6 +3988,9 @@ QUERIES = {
                              SQL_ROLLING_ACTIVE_USERS),
     "value_stddev_by_type": (q_value_stddev_by_type,
                              SQL_VALUE_STDDEV_BY_TYPE),
+    "value_trend_by_type": (q_value_trend_by_type,
+                            SQL_VALUE_TREND_BY_TYPE),
+    "cms_check": (q_cms_check, SQL_CMS_CHECK),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     # documents: dedup + text analysis
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),

@@ -12,6 +12,8 @@ aggregate (one sketch per key per batch, max-merge in the finalize).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
 
 
 def _clz64(w: np.ndarray) -> np.ndarray:
@@ -231,3 +233,76 @@ def mg_heavy_hitters(ds, col: str, capacity: int = 256,
     out = pd.DataFrame({"key": k, "est_count": c}).sort_values(
         ["est_count", "key"], ascending=[False, True], ignore_index=True)
     return out, floor_partials + max_bucket_cut + f_final
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: d rows × w counters; update adds 1 at (r, h_r(x));
+# MERGE IS ELEMENTWISE SUM (associative/commutative — a safe distributed
+# partial); estimate = min over rows.  One-sided error: est >= true
+# always, and P[est > true + N/w] <= (1/2)^d per key (standard CMS bound
+# with pairwise-independent rows; rows here are splitmix64-decorrelated
+# keyed hashes, the engine-wide convention).
+# ---------------------------------------------------------------------------
+
+def _cms_row_hashes(values: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, n) column indices: row 0 is pd.util.hash_array, each next row
+    a splitmix64 avalanche of the previous (same decorrelation trick as
+    bloom._hash2)."""
+    h = pd.util.hash_array(np.asarray(values, dtype=object))
+    out = np.empty((d, len(h)), dtype=np.int64)
+    for r in range(d):
+        out[r] = (h % np.uint64(w)).astype(np.int64)
+        z = h + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = z ^ (z >> np.uint64(31))
+    return out
+
+
+def cms_sketch(ds, col: str, d: int = 4, w: int = 1 << 14) -> np.ndarray:
+    """Distributed CMS build: each batch emits its own (d, w) counter
+    table flattened to ONE row of d·w int64 cells; the reduction is a
+    plain elementwise SUM (two-phase via Dataset.sum on the flattened
+    columns would ship d·w scalars — instead the partials stay (1, d·w)
+    arrow rows and sum tree-style through a single ``sum`` aggregate per
+    cell-block).  Returns the merged (d, w) numpy table on the driver —
+    d·w ints, independent of data size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        t = np.zeros((d, w), dtype=np.int64)
+        if len(vals):
+            idx = _cms_row_hashes(vals, d, w)
+            for r in range(d):
+                np.add.at(t[r], idx[r], 1)
+        return pa.table({"cells": pa.array([t.ravel()],
+                                           pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_pair(t: pa.Table) -> pa.Table:
+        c = t["cells"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        flat = c.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(-1, d * w).sum(axis=0)
+        return pa.table({"cells": pa.array([m], pa.list_(pa.int64()))})
+
+    # tree reduction: per-block merge first (map_batches with a large
+    # batch_size collapses each block's partials), then the driver sums
+    # the ≤ num_blocks one-row tables
+    reduced = parts.map_batches(merge_pair, batch_format="pyarrow",
+                                batch_size=64)
+    rows = reduced.take_all()
+    total = np.zeros(d * w, dtype=np.int64)
+    for row in rows:
+        total += np.asarray(row["cells"], dtype=np.int64)
+    return total.reshape(d, w)
+
+
+def cms_estimate(table: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point-query the merged CMS table: min over rows."""
+    d, w = table.shape
+    idx = _cms_row_hashes(np.asarray(values, dtype=object), d, w)
+    ests = np.stack([table[r, idx[r]] for r in range(d)])
+    return ests.min(axis=0)

@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     "cohort_retention", "minute_deltas", "minute_anomalies",
     "degree_distribution", "pagerank", "postings", "edit_dupes",
     "streak_ends", "pmi_bigrams", "rolling_active_users",
-    "quantized_embeddings",
+    "quantized_embeddings", "cms_check", "value_trend_by_type",
 ]
 
 

@@ -101,3 +101,30 @@ def test_mg_heavy_hitters_guarantee():
             assert k in est                    # superset guarantee
         if k in est:
             assert t - floor <= est[k] <= t    # bound sandwich
+
+
+def test_cms_partition_invariant_and_one_sided(ray_session):
+    """CMS merge is an elementwise sum, so the merged table is identical
+    under any partitioning, and estimates are one-sided (est >= true)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from abslog_ray.sketches import cms_estimate, cms_sketch
+
+    rng = np.random.default_rng(21)
+    toks = rng.choice([f"w{i}" for i in range(50)], size=4000,
+                      p=np.linspace(1, 50, 50) / np.sum(
+                          np.linspace(1, 50, 50)))
+    df = pd.DataFrame({"token": toks.astype(object)})
+    t1 = cms_sketch(ray.data.from_pandas(df).repartition(2),
+                    "token", d=3, w=512)
+    t2 = cms_sketch(ray.data.from_pandas(
+        df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ).repartition(7), "token", d=3, w=512)
+    assert (t1 == t2).all()
+
+    true = df["token"].value_counts()
+    est = cms_estimate(t1, true.index.to_numpy(dtype=object))
+    assert (est >= true.to_numpy()).all()
+    assert int(t1[0].sum()) == len(df)
