@@ -354,3 +354,50 @@ def semi_join(ds, keys_df: pd.DataFrame, on: str, anti: bool = False):
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def auto_join(left, right, on, how: str = "inner", n_buckets: int = 32,
+              broadcast_limit: int = 200_000, null_ints=()):
+    """Strategy-choosing join — the optimizer decision every pipeline
+    otherwise hand-codes: count the right side (an aggregate, no row
+    pull) and, when it fits ``broadcast_limit`` rows, ship it ONCE via
+    ``ray.put`` and merge inside every map task (zero shuffle of the
+    big side); otherwise fall back to the keyed ``bucket_join``
+    exchange.  The broadcast path restores integer widths with the same
+    global per-column policy as bucket_join (pandas nullable Int64 for
+    columns the caller declares source-null via ``null_ints``), so
+    downstream keyed ops hash identically whichever strategy ran."""
+    n = int(right.count())
+    if n > broadcast_limit:
+        return bucket_join(left, right, on=on, how=how,
+                           n_buckets=n_buckets, null_ints=null_ints)
+
+    rdf = right.to_pandas()
+    on_cols = [on] if isinstance(on, str) else list(on)
+    lsch = left.schema()
+    shared = [c for c in rdf.columns
+              if c in lsch.names and c not in on_cols]
+    int_cols = {}
+    for name, typ in zip(lsch.names, lsch.types):
+        at = arrow_type(typ)
+        if pa.types.is_integer(at):
+            int_cols[name] = np.dtype(at.to_pandas_dtype())
+    r_out = {c: (c + "_r" if c in shared else c) for c in rdf.columns
+             if c not in on_cols}
+    for c, out_name in r_out.items():
+        if pd.api.types.is_integer_dtype(rdf[c]):
+            int_cols.setdefault(out_name, rdf[c].dtype)
+    nullable = set(null_ints)
+    if how in ("left", "outer"):
+        nullable |= set(r_out.values())
+    restore = _int_restore_fn(int_cols, nullable)
+
+    import ray as _ray
+    ref = _ray.put(rdf)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        r = _ray.get(ref)
+        return restore(df.merge(r, on=on_cols, how=how,
+                                suffixes=("", "_r")))
+
+    return left.map_batches(fn, batch_format="pandas")

@@ -381,3 +381,41 @@ def test_percent_rank_over_key_matches_duckdb(ray_session):
         "select id, k, v, percent_rank() over (partition by k order by v)"
         " as pr from df order by k, id").df()
     assert (got["pr"].to_numpy() == exp["pr"].to_numpy()).all()  # bitwise
+
+
+def test_auto_join_strategies_agree(ray_session):
+    """auto_join's broadcast path and its bucket_join fallback return
+    identical frames AND dtypes for inner and left joins (incl. the
+    nullable-Int policy on unmatched left rows)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from abslog_ray.stages.join import auto_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 20, 200).astype(np.int64),
+        "v": rng.integers(0, 1000, 200).astype(np.int64)})
+    right = pd.DataFrame({
+        "k": np.arange(0, 14, dtype=np.int64),   # keys 14..19 unmatched
+        "w": (np.arange(14) * 7).astype(np.int64),
+        "v": np.arange(14, dtype=np.int64)})     # name collision -> v_r
+
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns),
+                              ignore_index=True, na_position="last")
+
+    for how in ("inner", "left"):
+        bcast = norm(auto_join(lds, rds, on="k", how=how,
+                               broadcast_limit=1_000_000).to_pandas())
+        bucket = norm(auto_join(lds, rds, on="k", how=how,
+                                broadcast_limit=0,
+                                n_buckets=4).to_pandas())
+        assert list(map(str, bcast.dtypes)) == \
+            list(map(str, bucket.dtypes)), how
+        pd.testing.assert_frame_equal(bcast, bucket)

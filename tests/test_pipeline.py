@@ -6,6 +6,8 @@
 4. exact quantile equality
 """
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -132,3 +134,42 @@ def test_summary_t2_scale(t2_path, default_cfg):
     want = oracle.oracle_summary(oracle.oracle_gaps(oe), default_cfg)
     assert_frames_equal(got, want,
                         ["role", "minute", "pattern", "args_abs"])
+
+
+def test_compact_sink_preserves_data(ray_session, tmp_path):
+    """Compaction merges every multi-fragment leaf to one file, keeps
+    values identical through read_parquet, and is a no-op on rerun."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from abslog_ray.state.compact import compact_sink
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "role": rng.choice(["user", "tool"], 400).astype(object),
+        "hour": rng.integers(0, 3, 400).astype(np.int64),
+        "v": rng.integers(0, 10**6, 400).astype(np.int64)})
+    root = str(tmp_path / "sink")
+    (ray.data.from_pandas(df).repartition(8)
+     .write_parquet(root, partition_cols=["role", "hour"]))
+    before = glob.glob(os.path.join(root, "**", "*.parquet"),
+                       recursive=True)
+    leaves = {os.path.dirname(p) for p in before}
+    assert len(before) > len(leaves)          # multi-fragment leaves exist
+
+    stats = compact_sink(root, min_files=2)
+    assert stats["files_before"].sum() >= len(before) - len(leaves)
+    after = glob.glob(os.path.join(root, "**", "*.parquet"),
+                      recursive=True)
+    assert len(after) == len(leaves)          # one file per leaf
+    got = (ray.data.read_parquet(root).to_pandas()
+           .astype({"role": object, "hour": np.int64})
+           .sort_values(["role", "hour", "v"], ignore_index=True))
+    want = df.sort_values(["role", "hour", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(got[["role", "hour", "v"]],
+                                  want[["role", "hour", "v"]])
+    # idempotent: second pass finds nothing
+    assert compact_sink(root, min_files=2).empty
