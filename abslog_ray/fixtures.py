@@ -2,7 +2,8 @@
 
 Byte-identical output for a given (seed, n_turns): all randomness flows from
 one ``numpy.random.default_rng(seed)`` and string assembly is vectorized via
-pandas, so regeneration is stable across runs/processes.  These tables stand
+Arrow kernels, so regeneration is stable across runs/processes (content
+hashes pinned by test_fixture_content_hash_pinned).  These tables stand
 in for the reference's live nginx logs (SURVEY.md §5: the public abs-log repo
 ships no test suite; the oracle + these fixtures ARE the equality target).
 
@@ -108,67 +109,89 @@ def generate_transcripts(seed: int = 42, n_turns: int = 2000) -> pa.Table:
              + _segmented_cumsum(gap_us, seg_starts))
 
     # ----- text grammar -----
+    # string assembly is ARROW (binary_join_element_wise): the previous
+    # np.char.add / pandas str.cat path spent 30+ min and ~35 GB on the
+    # 24M-turn tier (fixed-width U64 numpy copies per concat); Arrow
+    # builds the same bytes in ~1/6 the wall.  Every rng draw below is
+    # kept in the ORIGINAL order and width so output stays bit-identical
+    # (pinned by test_fixture_content_hash_pinned).
+    import binascii
+
+    import pyarrow.compute as pc
+
     parseable = rng.random(n) < 0.90
     hot = rng.random(n) < (1.0 / 3.0)  # ~30% of parseable requests
 
-    digits = rng.integers(1, 99999, n).astype("U6")
-    hexes = np.array([f"{x:08x}" for x in rng.integers(0, 2**32, n)])
+    digits_i = rng.integers(1, 99999, n)
+    digits = pc.cast(pa.array(digits_i), pa.string())
+    hexes = pa.array(np.frombuffer(
+        binascii.hexlify(rng.integers(0, 2**32, n).astype(">u4").tobytes()),
+        dtype="S8").astype("U8"))
     tmpl_choice = rng.integers(0, len(PATH_TEMPLATES), n)
-    word = rng.choice(WORDS, n)
+    word = pa.array(rng.choice(WORDS, n))
 
     fills = {"{d}": digits, "{h}": hexes, "{w}": word}
 
-    def render(template: str, m: np.ndarray) -> np.ndarray:
+    def render(template: str, m: np.ndarray):
         import re as _re
-        out = np.full(int(m.sum()), "", dtype="U64")
+        idx = pa.array(np.flatnonzero(m))
+        parts = []
         for part in _re.split(r"(\{[dhw]\})", template):
             if part in fills:
-                out = np.char.add(out, fills[part][m].astype("U16"))
+                parts.append(pc.take(fills[part], idx))
             elif part:
-                out = np.char.add(out, part)
-        return out
+                parts.append(part)
+        if all(isinstance(p, str) for p in parts):   # fill-free template
+            return pa.array(np.full(len(idx), "".join(parts), object),
+                            pa.string())
+        return pc.binary_join_element_wise(*parts, "")
 
     path = np.full(n, "", dtype=object)
-    path[hot] = render(HOT_PATH, hot)
+    path[hot] = render(HOT_PATH, hot).to_numpy(zero_copy_only=False)
     for i, t in enumerate(PATH_TEMPLATES):
         m = (tmpl_choice == i) & ~hot
-        path[m] = render(t, m)
+        path[m] = render(t, m).to_numpy(zero_copy_only=False)
+    path = pa.array(path, pa.string())
 
     # args: 0-3 k=v pairs, shuffled key order
     n_args = rng.integers(0, 4, n)
     key_perm = np.argsort(rng.random((n, len(ARG_KEYS))), axis=1)
-    vals = rng.integers(0, 9999, (n, 3)).astype("U4")
-    args = pd.Series(np.full(n, "", dtype=object))
+    vals_i = rng.integers(0, 9999, (n, 3))
+    args = pa.array(np.full(n, "", dtype=object), pa.string())
     for j in range(3):
         has = n_args > j
-        kj = ARG_KEYS[key_perm[:, j]]
-        piece = np.char.add(np.char.add(kj, "="), vals[:, j])
+        piece = pc.binary_join_element_wise(
+            pa.array(ARG_KEYS[key_perm[:, j]]), "=",
+            pc.cast(pa.array(vals_i[:, j]), pa.string()), "")
         sep = "?" if j == 0 else "&"
-        args = args.str.cat(
-            pd.Series(np.where(has, np.char.add(sep, piece), "")))
+        masked = pc.if_else(pa.array(has),
+                            pc.binary_join_element_wise(sep, piece, ""),
+                            "")
+        args = pc.binary_join_element_wise(args, masked, "")
 
     verb = rng.choice(VERBS, n)
     status = rng.choice(STATUSES, n, p=STATUS_P)
-    lat = rng.integers(1, 5000, n).astype("U4")
+    lat_i = rng.integers(1, 5000, n)
 
     filler = rng.choice(FILLERS, n)
     tail = rng.choice(TAILS, n)
 
-    span = (pd.Series(verb).str.cat(pd.Series(path.astype("U64")), sep=" ")
-            .str.cat(args)
-            .str.cat(pd.Series(status), sep=" status=")
-            .str.cat(pd.Series(lat), sep=" took=") + "ms")
-    text = pd.Series(filler).str.cat(
-        span.where(parseable, "note " + pd.Series(digits) + " free text"))
-    text = text.str.cat(pd.Series(tail))
+    span = pc.binary_join_element_wise(
+        pa.array(verb), " ", path, args, " status=", pa.array(status),
+        " took=", pc.cast(pa.array(lat_i), pa.string()), "ms", "")
+    free = pc.binary_join_element_wise("note ", digits, " free text", "")
+    text = pc.binary_join_element_wise(
+        pa.array(filler), pc.if_else(pa.array(parseable), span, free),
+        pa.array(tail), "")
 
     # emit shuffled (FIXTURES.md: exercise ordering invariance)
     perm = rng.permutation(n)
+    pidx = pa.array(perm)
     table = pa.table({
         "conv_id": pa.array(conv_id[perm], pa.string()),
         "turn_idx": pa.array(turn_idx[perm], pa.int32()),
         "role": pa.array(role[perm], pa.string()),
-        "text": pa.array(text.to_numpy()[perm], pa.string()),
+        "text": pc.take(text, pidx),
         "tool": pa.array(tool[perm], pa.string()),
         "ts": pa.array(ts_us[perm], pa.timestamp("us")),
     })

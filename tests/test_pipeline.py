@@ -173,3 +173,26 @@ def test_compact_sink_preserves_data(ray_session, tmp_path):
                                   want[["role", "hour", "v"]])
     # idempotent: second pass finds nothing
     assert compact_sink(root, min_files=2).empty
+
+
+def test_fixture_content_hash_pinned():
+    """Fixture generation must stay BIT-IDENTICAL across refactors (the
+    Arrow rewrite of the string grammar was verified equal to the
+    original numpy/pandas path at 2k/60k/2M rows before these hashes
+    were pinned) — every oracle and bench number keys off this data."""
+    import hashlib
+
+    from abslog_ray.fixtures import generate_transcripts
+
+    want = {
+        2000: "4c29dba312ab94a0a2f6804a68747baa"
+              "91825bfd97cd0ed7515c20dbdaca21ef",
+        60000: "e5fa867572554d5c6f1136a61409accc"
+               "f4aa11e9f30eedb2fc9b0efa563d2c06",
+    }
+    for nt, expect in want.items():
+        t = generate_transcripts(seed=42, n_turns=nt)
+        h = hashlib.sha256()
+        for col in ("conv_id", "turn_idx", "role", "text", "tool", "ts"):
+            h.update(str(t[col].to_pylist()).encode())
+        assert h.hexdigest() == expect, nt
