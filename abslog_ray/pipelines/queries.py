@@ -2123,6 +2123,14 @@ SAMPLE_PERMILLE, STRATUM_M = 200, 20
 _LCG_SQL = ("(1103515245 * ((1103515245 * ((doc_id + {seed}) % 2147483648)"
             " + 12345) % 2147483648) + 12345) % 2147483648")
 
+SQL_DATASET_SPLIT = f"""
+with s as (
+  select lang, ({_LCG_SQL.format(seed=0)}) % 1000 as h from documents)
+select case when h < 800 then 'train'
+            when h < 900 then 'val' else 'test' end as split,
+  lang, count(*) as n
+from s group by 1, 2"""
+
 
 def q_sample_docs(sf_dir: str):
     """Deterministic 200‰ Bernoulli sample of documents (map-only,
@@ -3367,6 +3375,99 @@ where n * s2 - s1 * s1 > 0
 
 
 # ==========================================================================
+# dataset split + language-model scoring
+# ==========================================================================
+
+def q_dataset_split(sf_dir: str):
+    """Train/val/test split contract: 80/10/10 by the seeded LCG hash
+    of doc_id (``stages.sample.dataset_split`` — a pure map stage, so
+    the assignment is identical under any cluster shape or resume; no
+    train/test leakage across runs).  Result is the per-(split, lang)
+    count table; the oracle reproduces the LCG bit-for-bit."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.sample import dataset_split
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    return hash_aggregate(dataset_split(docs), ["split", "lang"],
+                          {"n": ("*", "count")}, n_buckets=4)
+
+
+def q_unigram_surprisal(sf_dir: str):
+    """Per-doc average surprisal under the corpus unigram LM — the
+    classic LM-based quality signal (low = templated/common text,
+    high = rare tokens).  Exactness recipe: each token's surprisal
+    log2(N/c) is quantized ONCE on the vocab-sized table to an int64
+    micro-grid (floor(x·1e6 + 0.5) — identical IEEE ops both sides),
+    per-doc sums are then EXACT integer sums over one keyed join on
+    token (vocab-sized weight side, n_buckets-bucketed — no broadcast
+    assumption), and the average is ONE mirrored division."""
+    from abslog_ray.functions.text import _tokens_with_parents, token_counts
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    tok = token_counts(_docs(sf_dir), n_buckets=8).materialize()
+    n_tok = int(tok.sum("c") or 0)
+
+    def weights(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.floor(np.log2(float(n_tok) / c) * 1e6 + 0.5).astype(
+            np.int64)
+        return pa.table({"token": t["token"], "w": pa.array(w)})
+
+    w = tok.map_batches(weights, batch_format="pyarrow")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens_with_parents(batch["text"])
+        ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[parents]
+                                            if len(flat) else
+                                            np.array([], np.int64)),
+                         "token": pa.array(flat.astype(object),
+                                           pa.string())})
+
+    p = _docs(sf_dir).map_batches(pairs, batch_format="pyarrow")
+    j = bucket_join(p, w, on="token", how="inner", n_buckets=8)
+    agg = hash_aggregate(j, ["doc_id"], {"n_tokens": ("*", "count"),
+                                         "surprisal_sum": ("w", "sum")},
+                         n_buckets=8)
+
+    def avg(t: pa.Table) -> pa.Table:
+        s = t["surprisal_sum"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = (s // n) / 1e6          # micro-int // then ONE division
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_tokens": pa.array(n),
+                         "surprisal_sum": pa.array(s),
+                         "avg_surprisal": pa.array(val, pa.float64())})
+
+    return agg.map_batches(avg, batch_format="pyarrow")
+
+
+SQL_UNIGRAM_SURPRISAL = r"""
+with tk as (
+  select doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) as token
+  from documents),
+tc as (select token, count(*) as c from tk group by token),
+consts as (select count(*) as nt from tk),
+w as (
+  select token,
+    cast(floor(log2(cast(nt as double) / c) * 1000000 + 0.5) as bigint)
+      as w
+  from tc, consts)
+select doc_id, count(*) as n_tokens,
+  cast(sum(w) as bigint) as surprisal_sum,
+  (cast(sum(w) as bigint) // count(*)) / 1000000.0 as avg_surprisal
+from tk join w using (token)
+group by doc_id"""
+
+
+# ==========================================================================
 # sketches (continued): Count-Min, grouped regression
 # ==========================================================================
 
@@ -4042,5 +4143,7 @@ QUERIES = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "rolling_hits": (q_rolling_hits, SQL_ROLLING_HITS),
 }

@@ -73,3 +73,22 @@ def stratified_sample(ds, stratum_col: str, m: int, id_col="doc_id",
     trimmed = ds.map_batches(trim, batch_format="pyarrow")
     return trimmed.groupby(stratum_col).map_groups(final,
                                                    batch_format="pandas")
+
+
+def dataset_split(ds, id_col="doc_id", seed: int = 0,
+                  bounds=(800, 900)):
+    """Deterministic train/val/test assignment: split by the same
+    seeded LCG hash as ``hash_sample`` (train < bounds[0]‰ ≤ val <
+    bounds[1]‰ ≤ test).  Pure map stage — the assignment is a function
+    of the id alone, so it is identical under any cluster shape,
+    re-execution, or resume, and train/test never leak across runs."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = lcg_hash(t[id_col].to_numpy(zero_copy_only=False),
+                     seed) % 1000
+        split = np.where(h < bounds[0], "train",
+                         np.where(h < bounds[1], "val", "test"))
+        return t.append_column("split", pa.array(split.astype(object),
+                                                 pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
