@@ -3375,6 +3375,138 @@ where n * s2 - s1 * s1 > 0
 
 
 # ==========================================================================
+# statistical tests + funnel latency
+# ==========================================================================
+
+def q_chi2_cells(sf_dir: str):
+    """Chi-square independence contributions for the role × tool
+    contingency table — the data-quality test for "does tool usage
+    depend on role".  Per-cell contribution (o·N − r·c)² / (N·r·c) is
+    ONE mirrored double expression over EXACT integer counts (o·N stays
+    < 2^53 so the doubles are exact before the square); contributions
+    are emitted PER CELL rather than summed, because a distributed
+    float total would be summation-order-dependent — the caller (or
+    the oracle) sums the keys-sized result in any order it likes.  Raw
+    rows shuffle once into the keys-sized detail table; the row/col
+    totals and the per-cell expression finalize DRIVER-SIDE on that
+    ≤ |roles|×|tools| result (the established keys-sized-finalize
+    pattern — a distributed join chain here costs ~6 barrier rounds of
+    pure scheduling latency for 20 rows)."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    detail = hash_aggregate(_tp(sf_dir).select_columns(["role", "tool"]),
+                            ["role", "tool"], {"o": ("*", "count")},
+                            n_buckets=8).to_pandas()
+    o = detail["o"].to_numpy().astype(np.int64)
+    nd = float(o.sum())
+    r = detail.groupby("role")["o"].transform("sum").to_numpy().astype(
+        np.float64)
+    c = detail.groupby("tool")["o"].transform("sum").to_numpy().astype(
+        np.float64)
+    od = o.astype(np.float64)
+    d = od * nd - r * c
+    val = np.round(d * d / (nd * r * c), 6)
+    return pd.DataFrame({"role": detail["role"], "tool": detail["tool"],
+                         "o": o, "chi2_contrib": val})
+
+
+SQL_CHI2_CELLS = _PRELUDE + """
+, d as (select role, tool, count(*) as o from t group by role, tool),
+rt as (select role, cast(sum(o) as bigint) as r from d group by role),
+ct as (select tool, cast(sum(o) as bigint) as c from d group by tool),
+consts as (select cast(sum(o) as bigint) as n from d)
+select d.role, d.tool, o,
+  round((cast(o as double) * cast(n as double)
+           - cast(r as double) * cast(c as double))
+        * (cast(o as double) * cast(n as double)
+           - cast(r as double) * cast(c as double))
+        / (cast(n as double) * cast(r as double) * cast(c as double)),
+        6) as chi2_contrib
+from d, consts
+join rt on rt.role = d.role
+join ct on ct.tool = d.tool"""
+
+
+CONV_FIRST, CONV_SECOND = "signup", "purchase"
+
+
+def q_conversion_lag(sf_dir: str):
+    """Funnel latency: the exact median (and p90) of each converting
+    user's first-signup → first-purchase-after-signup delay.  Per-user
+    first timestamps pre-reduce in map_batches (two rows per user cross
+    the shuffle); the purchase side keeps the first purchase AFTER the
+    user's signup by re-aggregating the joined pair table; the global
+    median comes from the distinct-value histogram exchange (only
+    distinct lag values ship) with the pinned disc-quantile convention."""
+    from abslog_ray.quantiles import disc_quantile_from_counts
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    ev = ray.data.read_parquet(_events(sf_dir),
+                               columns=["user_id", "event_type", "ts"])
+
+    def firsts(step):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["event_type"], step)
+            return pa.table({"user_id": t["user_id"].filter(m),
+                             "ts_us": pc.cast(t["ts"].filter(m),
+                                              pa.int64())})
+        return hash_aggregate(ev.map_batches(fn, batch_format="pyarrow"),
+                              ["user_id"], {"first_us": ("ts_us", "min")},
+                              n_buckets=4)
+
+    sign = firsts(CONV_FIRST)
+    # purchases as raw (user, ts) rows; keep the first one AFTER signup
+    def purchases(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], CONV_SECOND)
+        return pa.table({"user_id": t["user_id"].filter(m),
+                         "p_us": pc.cast(t["ts"].filter(m), pa.int64())})
+
+    pur = ev.map_batches(purchases, batch_format="pyarrow")
+    j = bucket_join(pur, sign.map_batches(
+        lambda t: t.rename_columns(["user_id", "s_us"]),
+        batch_format="pyarrow"), on="user_id", how="inner", n_buckets=4)
+
+    def after(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["p_us"], t["s_us"])
+        t = t.filter(keep)
+        return pa.table({"user_id": t["user_id"],
+                         "lag_us": pc.subtract(t["p_us"], t["s_us"])})
+
+    lag = hash_aggregate(j.map_batches(after, batch_format="pyarrow"),
+                         ["user_id"], {"lag_us": ("lag_us", "min")},
+                         n_buckets=4)
+    hist = hash_aggregate(lag, ["lag_us"], {"n": ("*", "count")},
+                          n_buckets=4).to_pandas()
+
+    out = {}
+    for name, q in (("p50_lag_us", 0.5), ("p90_lag_us", 0.9)):
+        out[name] = int(disc_quantile_from_counts(
+            hist["lag_us"].to_numpy(), hist["n"].to_numpy(), q))
+    return pd.DataFrame({"n_converted": pd.Series([int(hist["n"].sum())],
+                                                  dtype="int64"),
+                         "p50_lag_us": pd.Series([out["p50_lag_us"]],
+                                                 dtype="int64"),
+                         "p90_lag_us": pd.Series([out["p90_lag_us"]],
+                                                 dtype="int64")})
+
+
+SQL_CONVERSION_LAG = f"""
+with s as (
+  select user_id, min(epoch_us(ts)) as s_us from events
+  where event_type = '{CONV_FIRST}' group by user_id),
+p as (
+  select e.user_id, min(epoch_us(ts) - s_us) as lag_us
+  from events e join s on s.user_id = e.user_id
+  where event_type = '{CONV_SECOND}' and epoch_us(ts) >= s_us
+  group by e.user_id)
+select count(*) as n_converted,
+  cast(quantile_disc(lag_us, 0.5) as bigint) as p50_lag_us,
+  cast(quantile_disc(lag_us, 0.9) as bigint) as p90_lag_us
+from p"""
+
+
+# ==========================================================================
 # dataset split + language-model scoring
 # ==========================================================================
 
@@ -4054,6 +4186,8 @@ QUERIES = {
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "last_event_per_user": (q_last_event_per_user, SQL_LAST_EVENT_PER_USER),
     "funnel_users": (q_funnel_users, SQL_FUNNEL_USERS),
+    "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
+    "chi2_cells": (q_chi2_cells, SQL_CHI2_CELLS),
     "purchaser_events": (q_purchaser_events, SQL_PURCHASER_EVENTS),
     "distinct_users_daily": (q_distinct_users_daily,
                              SQL_DISTINCT_USERS_DAILY),

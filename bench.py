@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "degree_distribution", "pagerank", "postings", "edit_dupes",
     "streak_ends", "pmi_bigrams", "rolling_active_users",
     "quantized_embeddings", "cms_check", "value_trend_by_type",
-    "dataset_split", "unigram_surprisal",
+    "dataset_split", "unigram_surprisal", "chi2_cells", "conversion_lag",
 ]
 
 
