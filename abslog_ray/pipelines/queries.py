@@ -2016,6 +2016,26 @@ from a{KMEANS_ITERS} where rn = 1""")
 SQL_KMEANS = _kmeans_sql()
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Embedding outlier mining — the corpus-QC step after clustering:
+    the 20 vectors FARTHEST from their assigned k-means centroid
+    (candidates for mislabeled / out-of-distribution rows).  The
+    assignment reuses the exact-integer Lloyd's pass (d2 is an exact
+    int64, so the ranking is hash-exact), and the top-k finish is the
+    distributed per-block pre-trim — the driver receives 20 rows."""
+    from abslog_ray.stages.aggregate import distributed_top_k
+    from abslog_ray.stages.cluster import kmeans_assign
+
+    a = kmeans_assign(_emb(sf_dir), k=KMEANS_K, iters=KMEANS_ITERS,
+                      scale=KMEANS_SCALE)
+    return distributed_top_k(a, 20, ["d2", "vec_id"], [True, False])
+
+
+SQL_EMBEDDING_OUTLIERS = (
+    f"select * from ({SQL_KMEANS})\n"
+    "order by d2 desc, vec_id limit 20")
+
+
 COV_SCALE = 10_000
 
 
@@ -4271,6 +4291,8 @@ QUERIES = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "nearest_centroid": (q_nearest_centroid, SQL_NEAREST_CENTROID),
     "kmeans": (q_kmeans, SQL_KMEANS),
+    "embedding_outliers": (q_embedding_outliers,
+                           SQL_EMBEDDING_OUTLIERS),
     "embedding_covariance": (q_embedding_covariance,
                              SQL_EMBEDDING_COVARIANCE),
     # sampling + decontamination + windowed family
