@@ -379,3 +379,38 @@ def test_mid_chunk_phase_resume(t1_path, default_cfg, tmp_path):
         b = ray.data.read_parquet(
             os.path.join(cfg_b.sink_root, sink)).to_pandas()
         assert_frames_equal(a, b, key_cols=None)
+
+
+def test_compaction_preserves_sinks_and_resume(t1_path, default_cfg,
+                                               tmp_path):
+    """compact_sink over a committed pipeline sink: data identical
+    through read_parquet, and resume still skips every chunk (manifest
+    entries point at partition DIRECTORIES, not file lists)."""
+    from abslog_ray.state.compact import compact_sink
+
+    cfg = dataclasses.replace(
+        default_cfg, sink_root=str(tmp_path / "s"), chunk_files=3)
+    run_pipeline(t1_path, cfg)
+
+    before = {}
+    for sink in ("routed", "summaries", "minute_totals"):
+        before[sink] = ray.data.read_parquet(
+            os.path.join(cfg.sink_root, sink)).to_pandas()
+
+    stats = compact_sink(cfg.sink_root, min_files=2)
+    # at least something had >=2 fragments (summaries/minute_totals are
+    # single-file per chunk; routed partitions can be) — if nothing
+    # qualified the compaction is a no-op, which must ALSO hold
+    m_before = Manifest.at(os.path.join(cfg.sink_root, "_checkpoint"))
+    commits = {k: v["committed_at"] for k, v in m_before.chunks.items()}
+
+    for sink, a in before.items():
+        b = ray.data.read_parquet(
+            os.path.join(cfg.sink_root, sink)).to_pandas()
+        assert_frames_equal(a, b, key_cols=None)
+
+    run_pipeline(t1_path, cfg)    # resume: every chunk must skip
+    m_after = Manifest.at(os.path.join(cfg.sink_root, "_checkpoint"))
+    assert {k: v["committed_at"]
+            for k, v in m_after.chunks.items()} == commits
+    assert stats is not None
