@@ -3395,6 +3395,72 @@ where n * s2 - s1 * s1 > 0
 
 
 # ==========================================================================
+# turn-transition latency
+# ==========================================================================
+
+def q_gap_by_transition(sf_dir: str):
+    """Latency by TURN TRANSITION: per (prev_role → role) pair, how
+    many turns and the exact µs gap sum / mirrored mean — "how long
+    does the assistant take after a tool turn" at the engine grain.
+    Conversations bucket-hash whole (the J3 shape); the per-bucket
+    kernel sorts, lags role+ts vectorized, and PRE-COMBINES to
+    (prev_role, role, n, gap_sum) partials — only ≤|roles|² rows per
+    bucket cross the final exchange."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.gaps import BUCKET_COL, add_bucket_fn
+
+    tp = _tp(sf_dir).select_columns(["conv_id", "turn_idx", "role", "ts"])
+    tp = tp.map_batches(add_bucket_fn("conv_id", 8),
+                        batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                            ignore_index=True)
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()
+        same = np.empty(len(df), dtype=bool)
+        same[0:1] = False
+        same[1:] = conv[1:] == conv[:-1]
+        prev_role = np.roll(role, 1)
+        gap = ts - np.roll(ts, 1)
+        out = pd.DataFrame({"prev_role": prev_role[same],
+                            "role": role[same],
+                            "gap_us": gap[same]})
+        g = out.groupby(["prev_role", "role"], sort=False)["gap_us"]
+        return g.agg(n="size", gap_sum_us="sum").reset_index()
+
+    parts = tp.groupby(BUCKET_COL).map_groups(
+        lambda df: pairs(df.drop(columns=[BUCKET_COL])),
+        batch_format="pandas")
+    agg = hash_aggregate(parts, ["prev_role", "role"],
+                         {"n": ("n", "sum"),
+                          "gap_sum_us": ("gap_sum_us", "sum")},
+                         n_buckets=2)
+
+    def mean(t: pa.Table) -> pa.Table:
+        s = t["gap_sum_us"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = (s // n) / 1e6          # exact µs grid, ONE division
+        return t.append_column("mean_gap_s", pa.array(val, pa.float64()))
+
+    return agg.map_batches(mean, batch_format="pyarrow")
+
+
+SQL_GAP_BY_TRANSITION = _PRELUDE + """
+, gtr as (
+  select role, lag(role) over w as prev_role,
+    epoch_us(ts) - lag(epoch_us(ts)) over w as gap_us
+  from t window w as (partition by conv_id order by turn_idx))
+select prev_role, role, count(*) as n,
+  cast(sum(gap_us) as bigint) as gap_sum_us,
+  (cast(sum(gap_us) as bigint) // count(*)) / 1000000.0 as mean_gap_s
+from gtr where prev_role is not null
+group by prev_role, role"""
+
+
+# ==========================================================================
 # statistical tests + funnel latency
 # ==========================================================================
 
@@ -4176,6 +4242,7 @@ QUERIES = {
     "parse_fields": (q_parse_fields, SQL_PARSE_FIELDS),
     "abstraction": (q_abstraction, SQL_ABSTRACTION),
     "gaps": (q_gaps, SQL_GAPS),
+    "gap_by_transition": (q_gap_by_transition, SQL_GAP_BY_TRANSITION),
     "conversation_texts": (q_conversation_texts, SQL_CONVERSATION_TEXTS),
     "routed_counts": (q_routed_counts, SQL_ROUTED_COUNTS),
     "minute_totals": (q_minute_totals, SQL_MINUTE_TOTALS),
