@@ -150,16 +150,29 @@ def run_headline() -> dict:
             "ep1_sinks_turns_per_sec": round(n_turns / ep1_wall, 1)}
 
 
-def run_queries() -> dict:
+def run_queries() -> tuple:
+    """Time each bench query under a SOFT wall budget
+    (``$GRAFT_BENCH_BUDGET_S``, default 420 s for the query section):
+    the registry has grown past 110 queries, and an unbounded sweep in
+    a slow host window could outlive a driver-side timeout and lose the
+    WHOLE JSON line.  Queries run in list order; once the budget is
+    spent the remainder is reported in ``queries_skipped`` — an honest
+    partial beats a killed run.  Set the env to 0 to disable."""
     import ray
     from abslog_ray.pipelines.queries import QUERIES
+    budget = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "420"))
     out = {}
-    for name in BENCH_QUERIES:
+    skipped = []
+    start = time.time()
+    for i, name in enumerate(BENCH_QUERIES):
+        if budget > 0 and time.time() - start > budget:
+            skipped = BENCH_QUERIES[i:]
+            break
         fn, _sql = QUERIES[name]
         t0 = time.time()
         _consume(fn(SF_DIR))
         out[name] = round(time.time() - t0, 3)
-    return out
+    return out, skipped
 
 
 def main():
@@ -191,13 +204,15 @@ def main():
         return
 
     head = run_headline()
-    qs = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()
+    qs, skipped = (({}, []) if os.environ.get("BENCH_HEADLINE_ONLY")
+                   else run_queries())
     print(json.dumps({
         "metric": "flagship_wall_sec",
         "value": head["wall_sec"],
         "wall_sec_repeats": head.get("wall_sec_repeats"),
         "unit": "sec",
         "queries": qs,
+        "queries_skipped": skipped,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "turns": head["turns"],
