@@ -3395,6 +3395,84 @@ where n * s2 - s1 * s1 > 0
 
 
 # ==========================================================================
+# cross-corpus vocabulary overlap
+# ==========================================================================
+
+def q_vocab_overlap(sf_dir: str):
+    """Corpus-comparison surface: vocabulary Jaccard between every
+    language pair ("how much does the en vocab overlap with de") —
+    the domain-shift check a multi-source training mix runs.  Distinct
+    (lang, token) pairs reduce two-phase; each token's ≤|langs| owners
+    expand to its C(k,2) lang pairs INSIDE the per-bucket kernel (the
+    expansion bound is |langs|², never corpus-sized), and sizes join in
+    a keys-sized driver finalize with ONE mirrored division."""
+    from abslog_ray.functions.text import _tokens_with_parents
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn, \
+        hash_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens_with_parents(batch["text"])
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string())})
+        df = pd.DataFrame({"lang": langs[parents], "token": flat})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    lt = hash_aggregate(docs.map_batches(pairs, batch_format="pyarrow"),
+                        ["lang", "token"], {"n": ("*", "count")},
+                        n_buckets=8).drop_columns(["n"]).materialize()
+    sizes = hash_aggregate(lt, ["lang"], {"v": ("*", "count")},
+                           n_buckets=2).to_pandas()
+
+    bl = lt.map_batches(add_key_bucket_fn(8, keys=["token"]),
+                        batch_format="pyarrow")
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[KEY_BUCKET])[["token", "lang"]]
+        m = df.merge(df, on="token", suffixes=("_a", "_b"))
+        m = m[m["lang_a"] < m["lang_b"]]       # ≤ C(|langs|,2) per token
+        return m[["lang_a", "lang_b"]].reset_index(drop=True)
+
+    inter = hash_aggregate(
+        bl.groupby(KEY_BUCKET).map_groups(expand, batch_format="pandas"),
+        ["lang_a", "lang_b"], {"i": ("*", "count")},
+        n_buckets=2).to_pandas()
+
+    v = dict(zip(sizes["lang"], sizes["v"].astype(np.int64)))
+    va = inter["lang_a"].map(v).to_numpy(dtype=np.int64)
+    vb = inter["lang_b"].map(v).to_numpy(dtype=np.int64)
+    i = inter["i"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "lang_a": inter["lang_a"], "lang_b": inter["lang_b"],
+        "i": i, "va": va, "vb": vb,
+        "jac": np.round(i / (va + vb - i).astype(np.float64), 6)})
+
+
+SQL_VOCAB_OVERLAP = r"""
+with lt as (
+  select distinct lang,
+    unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) as token
+  from documents),
+sz as (select lang, count(*) as v from lt group by lang),
+inter as (
+  select a.lang as lang_a, b.lang as lang_b, count(*) as i
+  from lt a join lt b on a.token = b.token and a.lang < b.lang
+  group by 1, 2)
+select lang_a, lang_b, i, sa.v as va, sb.v as vb,
+  round(i / cast(sa.v + sb.v - i as double), 6) as jac
+from inter
+join sz sa on sa.lang = lang_a
+join sz sb on sb.lang = lang_b"""
+
+
+# ==========================================================================
 # turn-transition latency
 # ==========================================================================
 
@@ -4348,6 +4426,7 @@ QUERIES = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_DUPES),
     "langid": (q_langid, SQL_LANGID),
+    "vocab_overlap": (q_vocab_overlap, SQL_VOCAB_OVERLAP),
     # embeddings: similarity
     "knn": (q_knn, SQL_KNN),
     "embedding_dupes": (q_embedding_dupes, SQL_EMBEDDING_DUPES),

@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "streak_ends", "pmi_bigrams", "rolling_active_users",
     "quantized_embeddings", "cms_check", "value_trend_by_type",
     "dataset_split", "unigram_surprisal", "chi2_cells", "conversion_lag",
-    "embedding_outliers", "gap_by_transition",
+    "embedding_outliers", "gap_by_transition", "vocab_overlap",
 ]
 
 
