@@ -3395,6 +3395,108 @@ where n * s2 - s1 * s1 > 0
 
 
 # ==========================================================================
+# per-language Zipf exponent
+# ==========================================================================
+
+def q_zipf_slope_by_lang(sf_dir: str):
+    """Per-language Zipf exponent: the OLS slope of log2(freq) against
+    log2(rank) over each language's rank–frequency curve — the classic
+    corpus-health statistic (natural text ≈ −1; templated/synthetic
+    corpora flatten).  Token frequencies reduce two-phase keyed on
+    (lang, token); each language's curve then ranks, quantizes both
+    logs to an int64 micro-grid (floor(x·1e6 + 0.5) — identical IEEE
+    ops both sides) and fits INSIDE its own group (groups are
+    vocab-per-lang-sized, the documented bound); the slope is one
+    mirrored double expression over the exact integer sums."""
+    from abslog_ray.functions.text import _tokens_with_parents
+    from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn, \
+        hash_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens_with_parents(batch["text"])
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "freq": pa.array([], pa.int64())})
+        key = pd.MultiIndex.from_arrays([langs[parents], flat])
+        codes, uniq = key.factorize(sort=False)
+        return pa.table({
+            "lang": pa.array([u[0] for u in uniq], pa.string()),
+            "token": pa.array([u[1] for u in uniq], pa.string()),
+            "freq": pa.array(np.bincount(codes).astype(np.int64))})
+
+    lt = hash_aggregate(docs.map_batches(counts, batch_format="pyarrow"),
+                        ["lang", "token"], {"freq": ("freq", "sum")},
+                        n_buckets=8)
+    lt = lt.map_batches(add_key_bucket_fn(4, keys=["lang"]),
+                        batch_format="pyarrow")
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[KEY_BUCKET])
+        rows = []
+        for lang, g in df.groupby("lang", sort=False):
+            g = g.sort_values(["freq", "token"],
+                              ascending=[False, True],
+                              kind="mergesort", ignore_index=True)
+            rank = np.arange(1, len(g) + 1, dtype=np.float64)
+            freq = g["freq"].to_numpy().astype(np.float64)
+            lx = np.floor(np.log2(rank) * 1e6 + 0.5).astype(np.int64)
+            ly = np.floor(np.log2(freq) * 1e6 + 0.5).astype(np.int64)
+            n = len(g)
+            sx, sy = int(lx.sum()), int(ly.sum())
+            sxy, sxx = int((lx * ly).sum()), int((lx * lx).sum())
+            slope = np.round(
+                (float(n) * float(sxy) - float(sx) * float(sy))
+                / (float(n) * float(sxx) - float(sx) * float(sx)), 6)
+            rows.append((lang, n, sx, sy, sxy, sxx, slope))
+        out = pd.DataFrame(rows, columns=[
+            "lang", "n", "sx", "sy", "sxy", "sxx", "zipf_slope"])
+        for c in ("n", "sx", "sy", "sxy", "sxx"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return lt.groupby(KEY_BUCKET).map_groups(fit, batch_format="pandas")
+
+
+SQL_ZIPF_SLOPE_BY_LANG = r"""
+with tk as (
+  select lang,
+    unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) as token
+  from documents),
+lt as (select lang, token, count(*) as freq from tk group by lang, token),
+r as (
+  select lang, freq,
+    row_number() over (partition by lang
+                       order by freq desc, token) as rank
+  from lt),
+q as (
+  select lang,
+    cast(floor(log2(cast(rank as double)) * 1000000 + 0.5) as bigint)
+      as lx,
+    cast(floor(log2(cast(freq as double)) * 1000000 + 0.5) as bigint)
+      as ly
+  from r),
+s as (
+  select lang, count(*) as n,
+    cast(sum(lx) as bigint) as sx, cast(sum(ly) as bigint) as sy,
+    cast(sum(lx * ly) as bigint) as sxy,
+    cast(sum(lx * lx) as bigint) as sxx
+  from q group by lang)
+select lang, n, sx, sy, sxy, sxx,
+  round((cast(n as double) * cast(sxy as double)
+           - cast(sx as double) * cast(sy as double))
+        / (cast(n as double) * cast(sxx as double)
+           - cast(sx as double) * cast(sx as double)), 6) as zipf_slope
+from s"""
+
+
+# ==========================================================================
 # cross-corpus vocabulary overlap
 # ==========================================================================
 
@@ -4427,6 +4529,8 @@ QUERIES = {
     "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_DUPES),
     "langid": (q_langid, SQL_LANGID),
     "vocab_overlap": (q_vocab_overlap, SQL_VOCAB_OVERLAP),
+    "zipf_slope_by_lang": (q_zipf_slope_by_lang,
+                           SQL_ZIPF_SLOPE_BY_LANG),
     # embeddings: similarity
     "knn": (q_knn, SQL_KNN),
     "embedding_dupes": (q_embedding_dupes, SQL_EMBEDDING_DUPES),

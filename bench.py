@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "quantized_embeddings", "cms_check", "value_trend_by_type",
     "dataset_split", "unigram_surprisal", "chi2_cells", "conversion_lag",
     "embedding_outliers", "gap_by_transition", "vocab_overlap",
+    "zipf_slope_by_lang",
 ]
 
 
