@@ -2824,7 +2824,13 @@ def q_regional_revenue(sf_dir: str):
     lineitem; the single big-big exchange is one bucket_join of the
     date-filtered orders⋈customer side against the per-(order, nation)
     PRE-AGGREGATED lineitem side.  At 100 TB the supplier broadcast is
-    the only piece to revisit (flip to a second bucket_join)."""
+    the only piece to revisit (flip to a second bucket_join).
+
+    The lineitem prune goes through ``read_semi_filtered`` (VERDICT r04
+    wrong #2): up to ISIN_PUSHDOWN_CAP supplier keys ship as an exact
+    ``isin`` read pushdown; past the cap a fixed-size Bloom bitmap ships
+    once instead — the ``li_partial`` inner merge removes its false
+    positives, so both paths are exact."""
     import datetime
 
     import pyarrow.dataset as pads
@@ -2864,11 +2870,12 @@ def q_regional_revenue(sf_dir: str):
     supp = supp[supp["s_nationkey"].isin(nat_keys)]
     supp_ref = ray.put(supp)
 
-    li = ray.data.read_parquet(
+    from abslog_ray.stages.bloom import read_semi_filtered
+    li = read_semi_filtered(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"],
-        filter=pads.field("l_suppkey").isin(supp["s_suppkey"].tolist()))
+        key_col="l_suppkey", keys=supp["s_suppkey"].to_numpy())
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.merge(ray.get(supp_ref), left_on="l_suppkey",
@@ -3366,6 +3373,21 @@ def q_minute_anomalies(sf_dir: str):
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         s1 = t["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
         s2 = t["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # loud overflow guard (ADVICE r04): past the documented n·h<3e9
+        # bound numpy int64 wraps SILENTLY while the DuckDB mirror
+        # raises — fail the same way the oracle does.  Float bounds with
+        # 2x slack are exact enough (int64→float64 is <2^-52 relative).
+        nf, hf, s1f, s2f = (x.astype(np.float64) for x in (n, h, s1, s2))
+        if len(h) and max(
+                (np.abs(nf * hf) + np.abs(s1f)).max(),
+                (nf * s2f + s1f * s1f).max(),
+                (np.abs(nf * hf - s1f).max()) ** 2,
+                4.0 * np.abs(nf * s2f - s1f * s1f).max()) >= 2.0 ** 62:
+            raise OverflowError(
+                "minute_anomalies: per-role hit sums exceed the exact "
+                "int64 z-score bound (n*h ~ 3e9); recompute this role's "
+                "stats with Python ints or move the comparison to the "
+                "float z as documented")
         num = n * h - s1
         var_num = n * s2 - s1 * s1
         keep = (var_num > 0) & (num * num >= 4 * var_num)
@@ -4087,6 +4109,16 @@ def q_pmi_bigrams(sf_dir: str):
         nxy = t["nxy"].to_numpy(zero_copy_only=False).astype(np.int64)
         nx = t["nx"].to_numpy(zero_copy_only=False).astype(np.int64)
         ny = t["ny"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # loud overflow guard (ADVICE r04): past the documented
+        # nxy·Nt² < 2^63 bound numpy wraps silently where DuckDB raises
+        if len(nxy) and max(
+                float(nxy.max()) * n_tok * n_tok,
+                float(n_big) * (nx.astype(np.float64)
+                                * ny.astype(np.float64)).max()) >= 2.0 ** 62:
+            raise OverflowError(
+                "pmi_bigrams: nxy*Nt^2 or Nb*nx*ny exceeds the exact "
+                "int64 bound; switch both engine and oracle to the "
+                "log-sum form as documented")
         num = (nxy * n_tok * n_tok).astype(np.float64)
         den = (n_big * nx * ny).astype(np.float64)
         val = np.round(np.log2(num / den), 6)
@@ -4280,7 +4312,13 @@ def q_edit_dupes(sf_dir: str):
     """Edit-distance near-dup pairs (length-banded Levenshtein ≤ 5 over
     40-char prefixes) — see stages.dedup.edit_distance_pairs for the
     band rule and the pair-vectorized DP.  Only id + 40-char prefix
-    ever ship; the full text column stays in the read."""
+    ever ship; the full text column stays in the read.
+
+    ORACLE-DIVERGENCE CONDITION (ADVICE r04): edit_distance_pairs (like
+    the simhash/lsh family) skips any band group larger than its
+    WARN-logged ``max_band_group`` — a recall cap with no SQL
+    counterpart.  The mirror matches only while no group exceeds the
+    cap (true at every tested scale; a capped run WARNs loudly)."""
     from abslog_ray.stages.dedup import edit_distance_pairs
 
     docs = ray.data.read_parquet(

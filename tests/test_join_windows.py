@@ -398,9 +398,11 @@ def test_auto_join_strategies_agree(ray_session):
         "k": rng.integers(0, 20, 200).astype(np.int64),
         "v": rng.integers(0, 1000, 200).astype(np.int64)})
     right = pd.DataFrame({
-        "k": np.arange(0, 14, dtype=np.int64),   # keys 14..19 unmatched
-        "w": (np.arange(14) * 7).astype(np.int64),
-        "v": np.arange(14, dtype=np.int64)})     # name collision -> v_r
+        # left-unmatched keys 14..19; right-unmatched keys 20..25 so an
+        # OUTER join must surface right-only rows exactly once
+        "k": np.arange(0, 26, 2, dtype=np.int64),
+        "w": (np.arange(13) * 7).astype(np.int64),
+        "v": np.arange(13, dtype=np.int64)})     # name collision -> v_r
 
     lds = ray.data.from_pandas(left).repartition(4)
     rds = ray.data.from_pandas(right).repartition(2)
@@ -410,7 +412,7 @@ def test_auto_join_strategies_agree(ray_session):
         return df.sort_values(list(df.columns),
                               ignore_index=True, na_position="last")
 
-    for how in ("inner", "left"):
+    for how in ("inner", "left", "outer"):
         bcast = norm(auto_join(lds, rds, on="k", how=how,
                                broadcast_limit=1_000_000).to_pandas())
         bucket = norm(auto_join(lds, rds, on="k", how=how,
@@ -419,3 +421,12 @@ def test_auto_join_strategies_agree(ray_session):
         assert list(map(str, bcast.dtypes)) == \
             list(map(str, bucket.dtypes)), how
         pd.testing.assert_frame_equal(bcast, bucket)
+        # pin VALUES against a pandas single-frame merge, not just the
+        # two strategies against each other (ADVICE r04: outer must not
+        # duplicate right-only rows per left block)
+        exp = left.merge(right, on="k", how=how, suffixes=("", "_r"))
+        assert len(bcast) == len(exp), how
+        if how == "outer":
+            r_only = bcast[~bcast["k"].isin(left["k"])]
+            assert sorted(r_only["k"]) == [20, 22, 24], \
+                "right-only keys must appear exactly once each"

@@ -175,6 +175,69 @@ def test_compact_sink_preserves_data(ray_session, tmp_path):
     assert compact_sink(root, min_files=2).empty
 
 
+def test_compact_crash_recovery_both_windows(ray_session, tmp_path):
+    """Simulate a crash on BOTH sides of the commit point (ADVICE r04:
+    the rename→unlink window used to leave duplicated rows forever).
+
+    Post-commit crash: final file + marker + fragments all present →
+    the next compact_sink must unlink the stale fragments, not count
+    the rows twice.  Pre-commit crash: marker + tmp present, final
+    absent → fragments stay authoritative, marker/tmp swept."""
+    import glob
+    import json
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from abslog_ray.state.compact import compact_sink, recover_sink
+
+    df = pd.DataFrame({"k": np.arange(60, dtype=np.int64),
+                       "grp": (np.arange(60) % 2).astype(np.int64)})
+    root = str(tmp_path / "sink")
+    (ray.data.from_pandas(df).repartition(6)
+     .write_parquet(root, partition_cols=["grp"]))
+    leaf = os.path.join(root, "grp=0")
+    frags = sorted(f for f in os.listdir(leaf) if f.endswith(".parquet"))
+    assert len(frags) >= 2
+
+    # --- post-commit crash: final renamed, fragments NOT yet unlinked
+    merged = pd.concat(
+        [pd.read_parquet(os.path.join(leaf, f)) for f in frags],
+        ignore_index=True)
+    final_name = "compact-deadbeef.parquet"
+    merged.to_parquet(os.path.join(leaf, final_name))
+    with open(os.path.join(leaf, "_compact-deadbeef.commit"), "w") as fh:
+        json.dump({"final": final_name, "tmp": "_compact-deadbeef.tmp",
+                   "fragments": frags}, fh)
+    # naive read now sees every grp=0 row twice — the documented window
+    assert len(ray.data.read_parquet(leaf).to_pandas()) == 2 * len(merged)
+    compact_sink(root, min_files=2)            # recovery runs first
+    got = ray.data.read_parquet(root).to_pandas()
+    assert len(got) == len(df)
+    assert sorted(got["k"]) == sorted(df["k"])
+
+    # --- pre-commit crash: marker + tmp written, final never renamed
+    shutil.rmtree(root)
+    (ray.data.from_pandas(df).repartition(6)
+     .write_parquet(root, partition_cols=["grp"]))
+    leaf = os.path.join(root, "grp=1")
+    frags = sorted(f for f in os.listdir(leaf) if f.endswith(".parquet"))
+    pd.DataFrame({"k": [999]}).to_parquet(
+        os.path.join(leaf, "_compact-cafe.tmp"))
+    with open(os.path.join(leaf, "_compact-cafe.commit"), "w") as fh:
+        json.dump({"final": "compact-cafe.parquet",
+                   "tmp": "_compact-cafe.tmp", "fragments": frags}, fh)
+    recover_sink(root)
+    names = os.listdir(leaf)
+    assert "_compact-cafe.commit" not in names
+    assert "_compact-cafe.tmp" not in names
+    assert sorted(f for f in names if f.endswith(".parquet")) == frags
+    got = ray.data.read_parquet(root).to_pandas()
+    assert sorted(got["k"]) == sorted(df["k"])
+
+
 def test_fixture_content_hash_pinned():
     """Fixture generation must stay BIT-IDENTICAL across refactors (the
     Arrow rewrite of the string grammar was verified equal to the
