@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "value_trend_by_type", "dataset_split", "unigram_surprisal",
     "chi2_cells", "conversion_lag", "embedding_outliers",
     "gap_by_transition", "vocab_overlap", "zipf_slope_by_lang",
+    "ivf_ann_indexed",
     # round-4 breadth
     "top_revenue_orders", "user_cumulative", "nearest_centroid",
     "regional_revenue", "funnel_users", "distinct_users_daily",
