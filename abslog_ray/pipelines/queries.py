@@ -1499,6 +1499,14 @@ select id as doc_id, cast(min(r) as bigint) as comp
 from cc group by id"""
 
 
+def _canon_jac(t: pa.Table) -> pa.Table:
+    return pa.table({
+        "doc_a": pc.cast(t["doc_a"], pa.int64()),
+        "doc_b": pc.cast(t["doc_b"], pa.int64()),
+        "jac": pc.cast(t["jac"], pa.float64()),
+    })
+
+
 def q_minhash_dupes(sf_dir: str):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (tau=0.5).
 
@@ -1514,17 +1522,80 @@ def q_minhash_dupes(sf_dir: str):
     stays pinned in pytest for other inputs."""
     from abslog_ray.stages.dedup import minhash_lsh_dupes
     ds = minhash_lsh_dupes(_docs(sf_dir), n=3, tau=0.5, bands=32)
-
-    def canon(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_a": pc.cast(t["doc_a"], pa.int64()),
-            "doc_b": pc.cast(t["doc_b"], pa.int64()),
-            "jac": pc.cast(t["jac"], pa.float64()),
-        })
-
     if isinstance(ds, pa.Table):          # empty-candidate short-circuit
         return ds
-    return ds.map_batches(canon, batch_format="pyarrow")
+    return ds.map_batches(_canon_jac, batch_format="pyarrow")
+
+
+def q_minhash_dupes_indexed(sf_dir: str):
+    """minhash_dupes against a PERSISTED signature index (VERDICT r04
+    missing #2): sign once into a scratch sink, then run banding +
+    exact-Jaccard verify from the stored signatures — the corpus-sized
+    signing pass is skipped on the query side.  Identical result to
+    q_minhash_dupes (deterministic signatures), so it shares the
+    exact-Jaccard oracle."""
+    import shutil
+    import tempfile
+
+    from abslog_ray.stages.minhash_index import (lsh_dupes_indexed,
+                                                 minhash_index_build)
+
+    root = tempfile.mkdtemp(prefix="minhash_index_", dir="/tmp")
+    try:
+        minhash_index_build(_docs(sf_dir), root, n=3)
+        ds = lsh_dupes_indexed(root, _docs(sf_dir), tau=0.5, bands=32)
+        if isinstance(ds, pa.Table):      # empty-candidate short-circuit
+            return ds
+        out = ds.map_batches(_canon_jac, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def q_near_dup_delta(sf_dir: str):
+    """Incremental near-dedup (the daily-ingest pattern): docs with
+    doc_id % 10 == 0 arrive as the NEW delta; the rest is the committed
+    corpus whose minhash signatures were persisted at sign time.  Only
+    the delta is signed; banding runs over stored ∪ fresh signatures and
+    pairs are restricted to those touching a new doc — corpus-vs-corpus
+    pairs were findable when the corpus was signed and are not
+    re-emitted.  Oracle: exact-Jaccard pair SQL restricted the same way
+    (same bands=32 recall-margin argument as ``minhash_dupes``)."""
+    import shutil
+    import tempfile
+
+    from abslog_ray.stages.minhash_index import (lsh_dupes_delta,
+                                                 minhash_index_build)
+
+    def _part(new: bool):
+        # synthetic delta split; pads expressions lack modulo, and the
+        # filter is a map-side predicate in a real ingest anyway
+        def flt(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 10 == 0
+            return t.filter(pa.array(m if new else ~m))
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"]).map_batches(
+                flt, batch_format="pyarrow")
+
+    root = tempfile.mkdtemp(prefix="minhash_delta_", dir="/tmp")
+    try:
+        minhash_index_build(_part(False), root, n=3)
+        ds = lsh_dupes_delta(root, _part(True), _part(False),
+                             tau=0.5, bands=32)
+        if isinstance(ds, pa.Table):      # empty-candidate short-circuit
+            return ds
+        out = ds.map_batches(_canon_jac, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_DELTA_WHERE = "where i * 1.0 / (sa.n + sb.n - i) >= 0.5"
+assert _DELTA_WHERE in SQL_JACCARD_PAIRS
+SQL_JACCARD_PAIRS_DELTA = SQL_JACCARD_PAIRS.replace(
+    _DELTA_WHERE,
+    _DELTA_WHERE + "\n  and (doc_a % 10 = 0 or doc_b % 10 = 0)")
 
 
 def q_simhash(sf_dir: str):
@@ -4591,6 +4662,8 @@ QUERIES = {
     "fingerprints": (q_fingerprint, SQL_FINGERPRINT),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "minhash_dupes": (q_minhash_dupes, SQL_JACCARD_PAIRS),
+    "minhash_dupes_indexed": (q_minhash_dupes_indexed, SQL_JACCARD_PAIRS),
+    "near_dup_delta": (q_near_dup_delta, SQL_JACCARD_PAIRS_DELTA),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_DUPES),
     "langid": (q_langid, SQL_LANGID),

@@ -559,7 +559,8 @@ def lsh_candidates(sig_ds, num_perm: int = 64, bands: int = 16,
 def minhash_lsh_dupes(ds, n: int = 3, tau: float = 0.5, num_perm: int = 64,
                       bands: int = 16, id_col="doc_id", text_col="text",
                       max_shingle_df: int = 1000,
-                      max_band_group: int = 2_000):
+                      max_band_group: int = 2_000, sigs_ds=None,
+                      pair_filter_ids=None):
     """LSH candidates verified with EXACT Jaccard over shingle sets.
     Returns (doc_a, doc_b, jac) with jac >= tau.
 
@@ -580,15 +581,39 @@ def minhash_lsh_dupes(ds, n: int = 3, tau: float = 0.5, num_perm: int = 64,
     materialization + a per-doc signature shuffle, to save re-tokenizing
     the tiny candidate subset) and costs strictly more memory at scale;
     use the from-shingles variant only when a shingle Dataset already
-    exists."""
+    exists.
+
+    ``sigs_ds``: precomputed signature Dataset (``id_col``, ``sig``) —
+    e.g. read back from a ``minhash_index_build`` sink — built with the
+    SAME n/num_perm/seed (the index meta records them; mismatches change
+    candidate recall silently, so callers go through
+    ``minhash_index.lsh_dupes_indexed`` which checks).  The raw ``ds``
+    is still required: exact-Jaccard verification re-tokenizes the
+    candidate docs."""
     import ray
 
     from abslog_ray.stages.join import bucket_join
 
-    sigs = minhash_signatures(ds, n, num_perm, id_col=id_col,
-                              text_col=text_col)
+    sigs = (sigs_ds if sigs_ds is not None
+            else minhash_signatures(ds, n, num_perm, id_col=id_col,
+                                    text_col=text_col))
     cand = lsh_candidates(sigs, num_perm, bands, id_col,
-                          max_band_group=max_band_group).materialize()
+                          max_band_group=max_band_group)
+    if pair_filter_ids is not None:
+        # delta-dedup restriction (minhash_index.lsh_dupes_delta): keep
+        # only candidate pairs touching at least one id in the set —
+        # delta-sized, shipped once
+        ids_ref = ray.put(np.unique(np.asarray(pair_filter_ids,
+                                               dtype=np.int64)))
+
+        def keep_touching(t: pa.Table) -> pa.Table:
+            arr = ray.get(ids_ref)
+            a = t["doc_a"].to_numpy(zero_copy_only=False)
+            b = t["doc_b"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(a, arr) | np.isin(b, arr)))
+
+        cand = cand.map_batches(keep_touching, batch_format="pyarrow")
+    cand = cand.materialize()
     if cand.count() == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),

@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "value_trend_by_type", "dataset_split", "unigram_surprisal",
     "chi2_cells", "conversion_lag", "embedding_outliers",
     "gap_by_transition", "vocab_overlap", "zipf_slope_by_lang",
-    "ivf_ann_indexed",
+    "ivf_ann_indexed", "minhash_dupes_indexed", "near_dup_delta",
     # round-4 breadth
     "top_revenue_orders", "user_cumulative", "nearest_centroid",
     "regional_revenue", "funnel_users", "distinct_users_daily",
@@ -114,10 +114,11 @@ def run_headline() -> dict:
     ds = read_transcripts(bench_path)
     n_turns = ds.count()
 
-    # best-of-N headline (default 2): the host shows ±8–25% window
-    # variance across ALL workloads (BASELINE.md); min wall strips the
-    # noise floor while every repeat is reported
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    # best-of-N headline (default 3): the host shows ±8–25% window
+    # variance across ALL workloads plus a ~15% first-job-after-load
+    # position effect (BASELINE.md round-5 counterbalanced A/B); min
+    # wall strips the noise floor while every repeat is reported
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     walls = []
     n_summary = 0
     for _ in range(max(1, repeats)):

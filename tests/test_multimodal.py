@@ -337,3 +337,82 @@ def test_image_dupes_finds_planted_pair():
     d01 = got.loc[(got["doc_a"] == 0) & (got["doc_b"] == 1),
                   "hamming"].iloc[0]
     assert d01 <= 2
+
+
+# --------------------------------------------------------------------------
+# external-decoder hook (VERDICT r04 missing #3): a user-supplied codec
+# callable plugs into FrameSampler / MediaDecoder without shipping one
+# --------------------------------------------------------------------------
+
+def _make_fake_mp4_decoder():
+    """Stand-in 'codec', built as a CLOSURE: cloudpickle serializes
+    closures by value, while a test-module-level function pickles by
+    reference and Ray actor workers cannot import the test module (a
+    real deployment's decoder lives in an importable package, where
+    reference-pickling is fine).  Frames are 100-byte payload windows
+    with a 1-byte header marking the frame number."""
+    def decode(payload: bytes):
+        n = max(1, len(payload) // 100)
+        return [bytes([i % 256]) + payload[i * 100:(i + 1) * 100]
+                for i in range(n)]
+    return decode
+
+
+def _make_fake_image_codec():
+    """Pretend-decode (closure, see above): declines (None) unless the
+    payload starts with the 'MPEG' magic; else a deterministic 4x4
+    grayscale image."""
+    def decode(payload: bytes):
+        if not payload.startswith(b"MPEG"):
+            return None
+        v = payload[4] if len(payload) > 4 else 0
+        return np.full((4, 4, 1), v, dtype=np.uint8)
+    return decode
+
+
+def test_frame_sampler_user_decoder(ray_session):
+    _fake_mp4_decoder = _make_fake_mp4_decoder()
+    t = synth_media_table(32)
+    out = sample_frames(ray.data.from_arrow(t), every_k=3,
+                        decoder=_fake_mp4_decoder,
+                        concurrency=(1, 2), batch_size=8).to_pandas()
+    n_videos = sum(1 for k in t["kind"].to_pylist() if k == "video")
+    assert out["item_id"].nunique() == n_videos
+    assert (out["frame_idx"] % 3 == 0).all()
+    # frame content comes from the USER decoder (header byte = index)
+    assert all(f[0] == i % 256
+               for f, i in zip(out["frame"], out["frame_idx"]))
+    # decoder takes precedence over fake: same call with fake=True too
+    out2 = sample_frames(ray.data.from_arrow(t), every_k=3, fake=True,
+                         decoder=_fake_mp4_decoder,
+                         concurrency=(1, 2), batch_size=8).to_pandas()
+    assert sorted(map(bytes, out2["frame"])) == \
+        sorted(map(bytes, out["frame"]))
+
+
+def test_media_decoder_user_codec_and_decline(ray_session):
+    _fake_image_codec = _make_fake_image_codec()
+    # two undecodable-by-stdlib payloads: one the user codec accepts,
+    # one it declines (fake fallback picks that one up)
+    t = pa.table({
+        "item_id": pa.array([0, 1], pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([b"MPEG" + bytes([200]) + b"x" * 64,
+                             b"????" + b"y" * 64], pa.binary()),
+        "meta": pa.array(["{}", "{}"]),
+    })
+    out = decode_media(ray.data.from_arrow(t), fake=True,
+                       decoder=_fake_image_codec,
+                       concurrency=(1, 2), batch_size=2).to_pandas()
+    out = out.sort_values("item_id", ignore_index=True)
+    f0 = np.asarray(out["features"][0])
+    # user-decoded 4x4x1 image, constant 200 -> mean 200/255, std 0
+    assert f0[0] == 1 and f0[1] == 4 and f0[2] == 4 and f0[3] == 1
+    assert np.isclose(f0[4], 200 / 255) and np.isclose(f0[7], 0.0)
+    # declined payload fell through to the fake stand-in (kind tag != 1)
+    assert np.asarray(out["features"][1])[0] != 1
+
+    # without fake, a declined payload raises LOUDLY
+    dec = MediaDecoder(fake=False, decoder=_fake_image_codec)
+    with pytest.raises(NotImplementedError):
+        dec(t.slice(1, 1))
