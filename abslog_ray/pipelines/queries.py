@@ -1552,6 +1552,38 @@ def q_minhash_dupes_indexed(sf_dir: str):
     return out
 
 
+def q_substring_pairs(sf_dir: str):
+    """Exact substring-sharing pairs (char-20-gram): the char-level
+    complement of word-n-gram Jaccard — catches boilerplate / licence
+    blocks / copy-paste contamination that word shingles dilute.  Two
+    docs pair iff they share a length-20 substring; n_shared counts the
+    distinct shared 20-grams (see stages.dedup.char_gram_pairs for the
+    bucketed two-phase shape and the scale note on hashing grams)."""
+    from abslog_ray.stages.dedup import char_gram_pairs
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "n_shared": pc.cast(t["n_shared"], pa.int64()),
+        })
+
+    return char_gram_pairs(_docs(sf_dir), k=20).map_batches(
+        canon, batch_format="pyarrow")
+
+
+SQL_SUBSTRING_PAIRS = r"""
+with g as (
+  select doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(length(text) - 19, 0)),
+    i -> substr(text, i, 20)))) as gram
+  from documents)
+select a.doc_id as doc_a, b.doc_id as doc_b,
+  cast(count(*) as bigint) as n_shared
+from g a join g b on a.gram = b.gram and a.doc_id < b.doc_id
+group by 1, 2"""
+
+
 def q_near_dup_delta(sf_dir: str):
     """Incremental near-dedup (the daily-ingest pattern): docs with
     doc_id % 10 == 0 arrive as the NEW delta; the rest is the committed
@@ -4664,6 +4696,7 @@ QUERIES = {
     "minhash_dupes": (q_minhash_dupes, SQL_JACCARD_PAIRS),
     "minhash_dupes_indexed": (q_minhash_dupes_indexed, SQL_JACCARD_PAIRS),
     "near_dup_delta": (q_near_dup_delta, SQL_JACCARD_PAIRS_DELTA),
+    "substring_pairs": (q_substring_pairs, SQL_SUBSTRING_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_DUPES),
     "langid": (q_langid, SQL_LANGID),

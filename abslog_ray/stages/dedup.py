@@ -368,6 +368,124 @@ def jaccard_pairs(ds=None, n: int = 3, tau: float = 0.5, id_col="doc_id",
     return j.map_batches(finalize_joined, batch_format="pyarrow")
 
 
+def _char_gram_explode(batch: pa.Table, k: int, id_col: str,
+                       text_col: str) -> pa.Table:
+    """Distinct char-k-gram substrings per doc, exploded to
+    (doc_id, gram).  Vectorized: all texts flatten to ONE codepoint
+    array, `sliding_window_view` forms every window as a C-level view,
+    `np.unique(axis=0)` dedups (doc, window) rows in C; only the UNIQUE
+    grams (bounded by content diversity, not corpus size) are decoded
+    back to strings."""
+    texts = batch[text_col].to_pylist()
+    enc = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+           for t in texts]                       # per-DOC, not per-gram
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    empty = pa.table({id_col: pa.array([], batch[id_col].type),
+                      "gram": pa.array([], pa.string())})
+    if len(texts) == 0 or lens.sum() < k:
+        return empty
+    flat = np.concatenate(enc)
+    parents = np.repeat(np.arange(len(texts)), lens)
+    W = np.lib.stride_tricks.sliding_window_view(flat, k)   # (N-k+1, k)
+    valid = parents[:len(W)] == parents[k - 1:]             # same doc
+    if not valid.any():
+        return empty
+    W = W[valid]
+    wpar = parents[:len(valid)][valid].astype(np.uint32)
+    # distinct (doc, window): one C-level unique over the stacked rows
+    rows = np.unique(np.column_stack([wpar[:, None], W]), axis=0)
+    uniq_w, inv = np.unique(rows[:, 1:], axis=0, return_inverse=True)
+    grams = np.array([w.tobytes().decode("utf-32-le") for w in
+                      np.ascontiguousarray(uniq_w)], dtype=object)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[
+        rows[:, 0].astype(np.int64)]
+    return pa.table({id_col: pa.array(ids),
+                     "gram": pa.array(grams[inv], pa.string())})
+
+
+def char_gram_pairs(ds, k: int = 20, min_shared: int = 1,
+                    id_col="doc_id", text_col="text",
+                    gram_buckets: int = 32, max_gram_df: int = 1000):
+    """EXACT substring-sharing pairs (doc_a < doc_b, n_shared = number of
+    distinct length-``k`` substrings the two docs share, >= min_shared)
+    — two docs share a length-k substring iff they have a common
+    substring of length >= k, so this is the candidate/score primitive
+    of exact-substring dedup (the char-level complement of the word-
+    n-gram ``jaccard_pairs``; boilerplate/licence-block and copy-paste
+    contamination that word shingles dilute).
+
+    Same scale shape as jaccard_pairs: explode distinct (doc, gram) →
+    bucket-hash grams → within-bucket pair counting (C(m,2) per gram
+    group, ``max_gram_df`` WARN-cap guards degenerate boilerplate
+    grams) → two-phase pair aggregation.  Only (doc, gram) rows and
+    pre-reduced pair counts shuffle; no all-pairs stage.  Scale note:
+    the exploded gram column is ~k bytes per text position — for 100 TB
+    runs raise ``k``-gram hashing into the explode (8-byte fp64 per
+    position, collisions verified by the caller) before sharding; the
+    string form is kept here because the DuckDB oracle checks it at
+    value level."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.gaps import BUCKET_COL, add_bucket_fn
+
+    sh = ds.map_batches(
+        lambda b: _char_gram_explode(b, k, id_col, text_col),
+        batch_format="pyarrow")
+    sh = sh.map_batches(add_bucket_fn("gram", gram_buckets),
+                        batch_format="pyarrow")
+    df_cap = max_gram_df if max_gram_df is not None else np.iinfo(
+        np.int64).max
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df["gram"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        c = codes[order]
+        ids = df[id_col].to_numpy()[order]
+        counts = np.bincount(c)
+        skipped = int(np.count_nonzero(counts > df_cap))
+        if skipped:
+            import logging
+            logging.getLogger("abslog_ray.dedup").warning(
+                "char_gram_pairs: skipped %d gram group(s) with document "
+                "frequency > %d (max seen: %d) — pair counts exclude "
+                "these grams", skipped, df_cap, int(counts.max()))
+        outs_a, outs_b = [], []
+        start = 0
+        for m in counts:
+            if 1 < m <= df_cap:
+                grp = np.sort(ids[start:start + m])
+                ii, jj = np.triu_indices(m, k=1)
+                outs_a.append(grp[ii])
+                outs_b.append(grp[jj])
+            start += m
+        if not outs_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "n_shared": pd.Series([], dtype=np.int64)})
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        key = pd.MultiIndex.from_arrays([a, b])
+        pcodes, puniq = key.factorize(sort=False)
+        return pd.DataFrame({
+            "doc_a": puniq.get_level_values(0).to_numpy(),
+            "doc_b": puniq.get_level_values(1).to_numpy(),
+            "n_shared": np.bincount(pcodes).astype(np.int64),
+        })
+
+    pair_ds = sh.groupby(BUCKET_COL).map_groups(
+        lambda df: pairs_in_bucket(df.drop(columns=[BUCKET_COL])),
+        batch_format="pandas")
+    agg = hash_aggregate(pair_ds, ["doc_a", "doc_b"],
+                         {"n_shared": ("n_shared", "sum")})
+    if min_shared <= 1:
+        return agg
+
+    def flt(t: pa.Table) -> pa.Table:
+        keep = t["n_shared"].to_numpy(zero_copy_only=False) >= min_shared
+        return t.filter(pa.array(keep))
+
+    return agg.map_batches(flt, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH (approximate near-dup at scale)
 # --------------------------------------------------------------------------

@@ -879,3 +879,42 @@ def test_edit_distance_pairs_plants_near_dup():
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert [(0, 1, 2)] == list(
         out[["doc_a", "doc_b", "dist"]].itertuples(index=False))
+
+
+def test_char_gram_pairs_planted_substring(ray_session):
+    """char_gram_pairs: two docs sharing one 25-char substring pair with
+    n_shared = 25-20+1 = 6 (each window of the shared run, nothing
+    else); unrelated docs never pair; short docs (< k chars) are
+    silently gramless, not an error."""
+    from abslog_ray.stages.dedup import char_gram_pairs
+    shared = "the quick brown fox jumps"          # 25 chars
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            # distinct boundary chars so the common run is EXACTLY the
+            # planted 25 chars (a shared flanking space would extend it)
+            "AAAA." + shared + ".1111",
+            "BBBBBB_" + shared + "_22",
+            "completely different content here with no overlap at all",
+            "tiny",                               # < k: no grams
+        ]})
+    got = (char_gram_pairs(ray.data.from_pandas(df).repartition(3), k=20)
+           .to_pandas().sort_values(["doc_a", "doc_b"],
+                                    ignore_index=True))
+    assert list(got["doc_a"]) == [0]
+    assert list(got["doc_b"]) == [1]
+    assert list(got["n_shared"]) == [6]
+
+    # min_shared filter
+    got2 = char_gram_pairs(ray.data.from_pandas(df), k=20,
+                           min_shared=7).to_pandas()
+    assert len(got2) == 0
+
+    # non-ASCII codepoints round-trip through the codepoint windows
+    uni = "καλημέρα κόσμε — " + shared
+    df3 = pd.DataFrame({"doc_id": np.array([10, 11], dtype=np.int64),
+                        "text": [uni + " x", "y " + uni]})
+    got3 = char_gram_pairs(ray.data.from_pandas(df3), k=20).to_pandas()
+    assert len(got3) == 1
+    # shared run is len(uni)=42 chars -> 23 shared 20-grams
+    assert int(got3["n_shared"].iloc[0]) == len(uni) - 20 + 1
