@@ -1012,6 +1012,55 @@ select conv_id, cast(sum(m) as bigint) as n_turns,
 from z group by conv_id"""
 
 
+def q_clicks_after_purchase(sf_dir: str):
+    """Fixed-duration RANGE JOIN (stages.windows.interval_join): for
+    each purchase, count the same user's clicks inside the following
+    hour (purchase.ts <= click.ts < purchase.ts + 1h) — the attribution-
+    window temporal join.  Many-to-many by construction: a click inside
+    two overlapping purchase windows counts toward both.  One keyed
+    shuffle + vectorized in-bucket searchsorted; count is a two-phase
+    aggregate over the emitted pairs."""
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.windows import interval_join
+
+    ev = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_id", "user_id", "event_type",
+                                  "ts"])
+
+    def _typed(tname):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t["event_type"], tname)
+            return t.filter(keep).drop_columns(["event_type"])
+        return fn
+
+    purchases = ev.map_batches(_typed("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(_typed("click"), batch_format="pyarrow")
+    pairs = interval_join(purchases, clicks, key_col="user_id",
+                          duration_us=3_600_000_000,
+                          anchor_id_col="event_id",
+                          probe_id_col="event_id", n_buckets=16)
+    agg = hash_aggregate(pairs, ["anchor_id"],
+                         {"n_clicks": ("*", "count")})
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "purchase_id": pc.cast(t["anchor_id"], pa.int64()),
+            "n_clicks": pc.cast(t["n_clicks"], pa.int64()),
+        })
+
+    return agg.map_batches(canon, batch_format="pyarrow")
+
+
+SQL_CLICKS_AFTER_PURCHASE = """
+with p as (select event_id, user_id, ts from events
+           where event_type = 'purchase'),
+c as (select user_id, ts from events where event_type = 'click')
+select p.event_id as purchase_id, cast(count(*) as bigint) as n_clicks
+from p join c on c.user_id = p.user_id
+  and c.ts >= p.ts and c.ts < p.ts + interval 1 hour
+group by 1"""
+
+
 def q_top_events_per_user(sf_dir: str):
     """Grouped top-k: top-2 event types per user by hit count."""
     from abslog_ray.stages.aggregate import hash_aggregate
@@ -4646,6 +4695,8 @@ QUERIES = {
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "user_cumulative": (q_user_cumulative, SQL_USER_CUMULATIVE),
     "sessions": (q_sessions, SQL_SESSIONS),
+    "clicks_after_purchase": (q_clicks_after_purchase,
+                              SQL_CLICKS_AFTER_PURCHASE),
     "top_events_per_user": (q_top_events_per_user, SQL_TOP_EVENTS_PER_USER),
     "rich_user_events": (q_rich_user_events, SQL_RICH_USER_EVENTS),
     "purchase_attribution": (q_purchase_attribution,

@@ -430,3 +430,37 @@ def test_auto_join_strategies_agree(ray_session):
             r_only = bcast[~bcast["k"].isin(left["k"])]
             assert sorted(r_only["k"]) == [20, 22, 24], \
                 "right-only keys must appear exactly once each"
+
+
+def test_interval_join_overlapping_windows(ray_session):
+    """interval_join: fixed-duration range join — inclusive start,
+    exclusive end, many-to-many across OVERLAPPING windows of one key,
+    no cross-key or cross-bucket leakage."""
+    from abslog_ray.stages.windows import interval_join
+
+    D = 100  # duration_us
+    anchors = pd.DataFrame({
+        "aid": np.array([1, 2, 3, 4], dtype=np.int64),
+        "k": np.array([7, 7, 7, 9], dtype=np.int64),
+        # windows [1000,1100) and [1050,1150) OVERLAP; key 9 apart
+        "ts": pd.to_datetime([1000, 1050, 5000, 1000], unit="us"),
+    })
+    probes = pd.DataFrame({
+        "pid": np.array([10, 11, 12, 13, 14, 15], dtype=np.int64),
+        "k": np.array([7, 7, 7, 7, 9, 8], dtype=np.int64),
+        "ts": pd.to_datetime([1000,   # == start of w1 (inclusive) -> 1
+                              1075,   # inside w1 AND w2 -> both
+                              1100,   # == end of w1 (exclusive), in w2
+                              1149,   # last us of w2
+                              1099,   # key 9's window
+                              1050],  # key 8: no anchors at all
+                             unit="us"),
+    })
+    got = interval_join(
+        ray.data.from_pandas(anchors).repartition(2),
+        ray.data.from_pandas(probes).repartition(3),
+        key_col="k", duration_us=D, anchor_id_col="aid",
+        probe_id_col="pid", n_buckets=4).to_pandas()
+    got = set(map(tuple, got[["anchor_id", "probe_id"]].to_numpy()))
+    assert got == {(1, 10), (1, 11), (2, 11), (2, 12), (2, 13),
+                   (4, 14)}
