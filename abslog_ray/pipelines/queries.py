@@ -1186,6 +1186,56 @@ select doc_id,
 from documents"""
 
 
+PACK_BUDGET, PACK_STREAMS = 200, 8
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing (stages.sample.pack_sequences): docs
+    stream by id mod 8; within a stream, consecutive docs share a pack
+    while the token total stays <= 200 (an oversized doc packs alone) —
+    the batch-construction step of a training pipeline.  The SQL mirror
+    is a per-stream recursive CTE walking the same greedy recurrence, so
+    the assignment is value-checked end to end."""
+    from abslog_ray.functions.text import token_stats_batch
+    from abslog_ray.stages.sample import pack_sequences
+
+    toks = _docs(sf_dir).map_batches(token_stats_batch,
+                                     batch_format="pyarrow")
+    out = pack_sequences(toks, budget=PACK_BUDGET, n_streams=PACK_STREAMS)
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "stream": pc.cast(t["stream"], pa.int64()),
+            "pack": pc.cast(t["pack"], pa.int64()),
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+        })
+
+    return out.map_batches(canon, batch_format="pyarrow")
+
+
+SQL_PACK_SEQUENCES = rf"""
+with recursive d as (
+  select doc_id, doc_id % {PACK_STREAMS} as stream,
+    cast(len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '')) as bigint) as n_tokens,
+    row_number() over (partition by doc_id % {PACK_STREAMS}
+                       order by doc_id) as rn
+  from documents),
+r as (
+  select stream, rn, doc_id, n_tokens, n_tokens as acc,
+    cast(0 as bigint) as pack
+  from d where rn = 1
+  union all
+  select d.stream, d.rn, d.doc_id, d.n_tokens,
+    case when r.acc + d.n_tokens > {PACK_BUDGET}
+         then d.n_tokens else r.acc + d.n_tokens end,
+    case when r.acc + d.n_tokens > {PACK_BUDGET}
+         then r.pack + 1 else r.pack end
+  from r join d on d.stream = r.stream and d.rn = r.rn + 1)
+select doc_id, stream, pack, n_tokens from r"""
+
+
 def q_quality(sf_dir: str):
     from abslog_ray.functions.text import quality_batch
     return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
@@ -4753,6 +4803,7 @@ QUERIES = {
     "minhash_dupes_indexed": (q_minhash_dupes_indexed, SQL_JACCARD_PAIRS),
     "near_dup_delta": (q_near_dup_delta, SQL_JACCARD_PAIRS_DELTA),
     "substring_pairs": (q_substring_pairs, SQL_SUBSTRING_PAIRS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_DUPES),
     "langid": (q_langid, SQL_LANGID),

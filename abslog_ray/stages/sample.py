@@ -92,3 +92,59 @@ def dataset_split(ds, id_col="doc_id", seed: int = 0,
                                                  pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pack_sequences(ds, budget: int, n_streams: int = 8,
+                   id_col: str = "doc_id", tokens_col: str = "n_tokens"):
+    """Greedy sequence packing: assign each doc a (stream, pack) so that
+    consecutive docs of a stream share a pack while their token total
+    stays <= ``budget`` (a doc longer than the budget gets a pack of its
+    own) — the batch-construction step that turns a filtered corpus into
+    fixed-token-budget training rows.
+
+    Packing is inherently sequential, so it runs per STREAM:
+    ``stream = id mod n_streams`` (deterministic + SQL-mirrorable; at
+    scale use the hash-bucket variant and one stream per partition).
+    Streams pack independently and in parallel — one keyed shuffle
+    brings a stream's (id, n_tokens) rows together, and the in-stream
+    kernel loops once per PACK (searchsorted over the running token
+    cumsum), not per row.
+
+    Input needs ``tokens_col`` precomputed (token_stats does this in one
+    map); output is (id, stream, pack, n_tokens) — keys-sized metadata,
+    the text itself never enters the shuffle."""
+    from abslog_ray.stages.gaps import BUCKET_COL
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col],
+            tokens_col: t[tokens_col],
+            BUCKET_COL: pa.array((ids % n_streams).astype(np.int64)),
+        })
+
+    def pack_stream(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, ignore_index=True)
+        stream = int(df[BUCKET_COL].iloc[0]) if len(df) else 0
+        toks = df[tokens_col].to_numpy().astype(np.int64)
+        cum = np.cumsum(toks)
+        n = len(df)
+        pack = np.empty(n, dtype=np.int64)
+        idx, p, base = 0, 0, 0
+        while idx < n:                      # one iteration per PACK
+            end = int(np.searchsorted(cum, base + budget, side="right"))
+            if end <= idx:                  # oversized doc: own pack
+                end = idx + 1
+            pack[idx:end] = p
+            base = int(cum[end - 1])
+            idx, p = end, p + 1
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "stream": np.full(n, stream, dtype=np.int64),
+            "pack": pack,
+            tokens_col: toks,
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby(BUCKET_COL).map_groups(
+        lambda df: pack_stream(df), batch_format="pandas")

@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "chi2_cells", "conversion_lag", "embedding_outliers",
     "gap_by_transition", "vocab_overlap", "zipf_slope_by_lang",
     "ivf_ann_indexed", "minhash_dupes_indexed", "near_dup_delta",
-    "substring_pairs", "clicks_after_purchase",
+    "substring_pairs", "clicks_after_purchase", "pack_sequences",
     # round-4 breadth
     "top_revenue_orders", "user_cumulative", "nearest_centroid",
     "regional_revenue", "funnel_users", "distinct_users_daily",

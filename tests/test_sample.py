@@ -130,3 +130,30 @@ def test_rolling_mean_matches_pandas():
                          .reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[["role", "minute", "hits", "hits_roll"]], want)
+
+
+def test_pack_sequences_greedy_semantics(ray_session):
+    """pack_sequences: greedy fill to the budget, oversized doc packs
+    alone, streams independent, invariant to block layout."""
+    from abslog_ray.stages.sample import pack_sequences
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 2, 4, 6, 8, 1, 3], dtype=np.int64),
+        # stream 0 (ids 0,2,4,6,8): 60+50 fit 150; +70 would be 180 > 150
+        # -> new pack; 200 oversized packs ALONE; 10 starts after it
+        # stream 1 (ids 1,3): 100+50 fits one pack
+        "n_tokens": np.array([60, 50, 70, 200, 10, 100, 50],
+                             dtype=np.int64),
+    })
+    got = (pack_sequences(ray.data.from_pandas(df).repartition(3),
+                          budget=150, n_streams=2)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    by = dict(zip(got["doc_id"], zip(got["stream"], got["pack"])))
+    assert by[0] == (0, 0) and by[2] == (0, 0)     # 60+50 = 110 <= 150
+    assert by[4] == (0, 1)                         # would overflow
+    assert by[6] == (0, 2)                         # oversized, alone
+    assert by[8] == (0, 3)                         # after oversized
+    assert by[1] == (1, 0) and by[3] == (1, 0)     # 100+50 = 150 fits
+    # per-pack totals never exceed the budget except oversized singles
+    tot = got.groupby(["stream", "pack"])["n_tokens"].agg(["sum", "size"])
+    bad = tot[(tot["sum"] > 150) & (tot["size"] > 1)]
+    assert bad.empty
