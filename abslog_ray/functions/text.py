@@ -33,6 +33,37 @@ def _tokens_with_parents(text_col):
     return flat[keep], parents[keep]
 
 
+# GPT-2-style pretokenizer, RE2-safe: the upstream pattern's trailing
+# `\s+(?!\S)` lookahead is unsupported by RE2 (Arrow AND DuckDB), so
+# whitespace runs match as single tokens instead of splitting the last
+# space off — a documented, deterministic variant, identical in both
+# engines.  Contraction suffixes, optionally-space-prefixed letter runs,
+# digit runs, punctuation runs, whitespace runs.
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+")
+
+
+def bpe_token_count_batch(batch: pa.Table,
+                          text_col: str = "text") -> pa.Table:
+    """doc_id, n_bpe_tokens: pretokenizer-level token count (the budget
+    estimate a training pipeline uses before real BPE merges — merges
+    only ever reduce the count, so this is the packing upper bound).
+    One vectorized ``count_substring_regex`` kernel; SQL mirror is
+    ``len(regexp_extract_all(text, pattern))`` over the same RE2."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = pc.count_substring_regex(text, BPE_PRETOKEN_RE)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bpe_tokens": pc.cast(n, pa.int64()),
+    })
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
     """doc_id, n_tokens, n_uniq_tokens."""
     flat, parents = _tokens_with_parents(batch["text"])

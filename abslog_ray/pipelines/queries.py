@@ -1186,6 +1186,27 @@ select doc_id,
 from documents"""
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Pretokenizer-level (GPT-2-style regex, RE2-safe variant) token
+    count per doc — the budget estimate a training pipeline uses before
+    real BPE merges (merges only reduce the count, so this upper-bounds
+    packing).  One vectorized count_substring_regex kernel; the SQL
+    mirror runs the same RE2 through regexp_extract_all."""
+    from abslog_ray.functions.text import bpe_token_count_batch
+    return _docs(sf_dir).map_batches(bpe_token_count_batch,
+                                     batch_format="pyarrow")
+
+
+def _bpe_sql() -> str:
+    from abslog_ray.functions.text import BPE_PRETOKEN_RE
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return (f"select doc_id, cast(len(regexp_extract_all(text, "
+            f"'{pat}')) as bigint) as n_bpe_tokens from documents")
+
+
+SQL_BPE_TOKEN_COUNTS = _bpe_sql()
+
+
 PACK_BUDGET, PACK_STREAMS = 200, 8
 
 
@@ -4804,6 +4825,7 @@ QUERIES = {
     "near_dup_delta": (q_near_dup_delta, SQL_JACCARD_PAIRS_DELTA),
     "substring_pairs": (q_substring_pairs, SQL_SUBSTRING_PAIRS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_DUPES),
     "langid": (q_langid, SQL_LANGID),

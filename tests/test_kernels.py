@@ -184,3 +184,23 @@ def test_cont_quantile_from_counts_matches_numpy_linear():
             got = cont_quantile_from_counts(u, c, q)
             exp = float(np.percentile(vals, q * 100, method="linear"))
             assert abs(got - exp) < 1e-9, (q, got, exp)
+
+
+def test_bpe_token_count_closed_form():
+    """bpe_token_count_batch: hand-counted pretokens, contraction
+    suffixes split, unicode letters one run, whitespace runs one token
+    (the documented RE2 no-lookahead variant)."""
+    import pyarrow as pa
+
+    from abslog_ray.functions.text import bpe_token_count_batch
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            # "It"," is"(')... hand count: It|'s| a| test|,| isn|'t| it|?|
+            # "  "(ws run)|42(" 42")| times|.  -> 13
+            "It's a test, isn't it?  42 times.",
+            "",
+            "καλημέρα world 123",        # " ?L+"x2 sep by space-prefix + N
+        ])})
+    got = bpe_token_count_batch(t)
+    assert got["n_bpe_tokens"].to_pylist() == [13, 0, 3]
