@@ -20,10 +20,17 @@ import sys
 
 
 def _init_ray():
+    import os
+
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # Defer the address to the environment: under `ray job submit`
+        # RAY_ADDRESS points at the cluster and a hard-coded
+        # address="local" would silently start a fresh single-node
+        # instance INSIDE the job instead of using the cluster.  With no
+        # env set, "local" keeps the standalone-CLI behavior.
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from abslog_ray.config import tune_data_context
     tune_data_context()
 
