@@ -580,3 +580,113 @@ def char_entropy_batch(batch: pa.Table) -> pa.Table:
     np.add.at(h, up, -p * np.log2(p))
     return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
                      "entropy": pa.array(np.round(h, 6))})
+
+
+def bm25_topk(ds, queries: dict, k: int = 10, k1: float = 1.2,
+              b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text", n_docs: int | None = None):
+    """BM25 top-k text retrieval (Robertson/Lucene idf variant): for
+    each query (``{query_id: "terms ..."}``, distinct terms, unit query
+    weight) return the ``k`` best docs by
+    ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)`` — the curation-side
+    retrieval baseline (quality probes, eval-set mining) next to the
+    embedding knn.
+
+    Scale shape: ONE corpus pass emits only (doc, query-term, tf, dl)
+    rows for docs CONTAINING a query term (the query vocabulary is
+    bounded, the broadcast ships once); df/idf derive from those rows
+    (term-keyed, tiny), N from metadata/count and sum(dl) from a scalar
+    aggregate; scoring + per-query top-k run over the matches table,
+    never the corpus.  Ranking is on the ROUNDED (6dp) score with
+    doc-id tie-break, so engine and SQL mirror order identically."""
+    import ray
+
+    from abslog_ray.stages.aggregate import hash_aggregate
+
+    qterms = sorted({t for q in queries.values() for t in q.split()})
+    term_code = {t: i for i, t in enumerate(qterms)}
+    # query -> its DISTINCT term codes
+    qmap = {int(qid): sorted({term_code[t] for t in q.split()})
+            for qid, q in queries.items()}
+    ref = ray.put(np.array(qterms, dtype=object))
+
+    def match(batch: pa.Table) -> pa.Table:
+        terms = ray.get(ref)
+        flat, parents = _tokens_with_parents(batch[text_col])
+        n = batch.num_rows
+        dl = np.bincount(parents, minlength=n).astype(np.int64)
+        hit = np.isin(flat, terms)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64())})
+        codes = pd.Series(flat[hit]).map(
+            {t: i for i, t in enumerate(terms)}).to_numpy(np.int64)
+        rows = parents[hit].astype(np.int64)
+        key = rows * len(terms) + codes
+        uk, tf = np.unique(key, return_counts=True)
+        urow = (uk // len(terms)).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[urow].astype(np.int64)),
+            "term": pa.array((uk % len(terms)).astype(np.int64)),
+            "tf": pa.array(tf.astype(np.int64)),
+            "dl": pa.array(dl[urow]),
+        })
+
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        flat, _p = _tokens_with_parents(batch[text_col])
+        return pa.table({"s": pa.array([len(flat)], pa.int64()),
+                         "c": pa.array([batch.num_rows], pa.int64())})
+
+    totals = (ds.map_batches(dl_partial, batch_format="pyarrow")
+              .to_pandas())
+    n = int(totals["c"].sum()) if n_docs is None else int(n_docs)
+    avgdl = float(totals["s"].sum()) / n
+
+    matches = ds.map_batches(match, batch_format="pyarrow").materialize()
+    dfs = hash_aggregate(matches, ["term"],
+                         {"df": ("*", "count")}).to_pandas()
+    idf = np.zeros(len(qterms), dtype=np.float64)
+    for t, d in zip(dfs["term"], dfs["df"]):
+        idf[int(t)] = np.log((n - int(d) + 0.5) / (int(d) + 0.5) + 1.0)
+    score_ref = ray.put((idf, qmap))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_, qmap_ = ray.get(score_ref)
+        doc = batch[id_col].to_numpy(zero_copy_only=False)
+        term = batch["term"].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        contrib = idf_[term] * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl))
+        out_q, out_d, out_s = [], [], []
+        for qid, codes in qmap_.items():
+            m = np.isin(term, np.asarray(codes, dtype=np.int64))
+            out_q.append(np.full(int(m.sum()), qid, dtype=np.int64))
+            out_d.append(doc[m].astype(np.int64))
+            out_s.append(contrib[m])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_d)),
+            "s": pa.array(np.concatenate(out_s)),
+        })
+
+    scored = hash_aggregate(
+        matches.map_batches(score, batch_format="pyarrow"),
+        ["query_id", id_col], {"s": ("s", "sum")})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["score"] = np.round(df["s"].to_numpy(), 6)
+        df = df.sort_values(["score", id_col],
+                            ascending=[False, True], kind="mergesort")
+        df = df.head(k).drop(columns=["s"]).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return scored.groupby("query_id").map_groups(topk,
+                                                 batch_format="pandas")

@@ -1186,6 +1186,70 @@ select doc_id,
 from documents"""
 
 
+BM25_QUERIES = {0: "hash join merge", 1: "slow scan filter",
+                2: "window sort batch"}
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-10 docs per query (3 fixed term queries) — the text-side
+    retrieval baseline next to embedding knn; see
+    functions.text.bm25_topk for the one-corpus-pass match shape.
+    Ranking is on the ROUND-6 score with doc-id tie-break so the SQL
+    mirror (same formula, same operand order) orders identically."""
+    from abslog_ray.functions.text import bm25_topk
+    out = bm25_topk(_docs(sf_dir), BM25_QUERIES, k=10)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "query_id": df["query_id"].astype(np.int64),
+            "doc_id": df["doc_id"].astype(np.int64),
+            "score": df["score"].astype(np.float64),
+            "rank": df["rank"].astype(np.int64),
+        })
+
+    return out.map_batches(canon, batch_format="pandas")
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(f"({qid}, '{t}')"
+                     for qid, q in sorted(BM25_QUERIES.items())
+                     for t in q.split())
+    return rf"""
+with q(qid, term) as (values {vals}),
+tk as (
+  select doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as tok
+  from documents),
+stats as (
+  select (select count(*) from documents) as n,
+         (select count(*) from tk) * 1.0 /
+         (select count(*) from documents) as avgdl),
+tf as (select doc_id, tok, count(*) as tf from tk
+       where tok in (select term from q) group by 1, 2),
+dfv as (select tok, count(*) as df from tf group by tok),
+dl as (select doc_id, count(*) as dl from tk group by doc_id),
+scored as (
+  select cast(q.qid as bigint) as query_id, tf.doc_id,
+    sum( ln((stats.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) *
+         (tf.tf * 2.2) /
+         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from q
+  join tf on tf.tok = q.term
+  join dfv on dfv.tok = tf.tok
+  join dl on dl.doc_id = tf.doc_id, stats
+  group by 1, 2),
+rk as (
+  select query_id, doc_id, round(s, 6) as score,
+    row_number() over (partition by query_id
+                       order by round(s, 6) desc, doc_id) as rank
+  from scored)
+select query_id, doc_id, score, cast(rank as bigint) as rank
+from rk where rank <= 10"""
+
+
+SQL_BM25_TOPK = _bm25_sql()
+
+
 def q_bpe_token_counts(sf_dir: str):
     """Pretokenizer-level (GPT-2-style regex, RE2-safe variant) token
     count per doc — the budget estimate a training pipeline uses before
@@ -4826,6 +4890,7 @@ QUERIES = {
     "substring_pairs": (q_substring_pairs, SQL_SUBSTRING_PAIRS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_DUPES),
     "langid": (q_langid, SQL_LANGID),

@@ -204,3 +204,58 @@ def test_bpe_token_count_closed_form():
         ])})
     got = bpe_token_count_batch(t)
     assert got["n_bpe_tokens"].to_pylist() == [13, 0, 3]
+
+
+def test_bm25_topk_matches_naive(ray_session):
+    """bm25_topk == a transparent per-doc python reference (Lucene idf,
+    k1=1.2 b=0.75), including rank tie-breaks and docs matched by only
+    one of the queries."""
+    import math
+
+    import ray.data
+
+    from abslog_ray.functions.text import bm25_topk
+    texts = [
+        "hash join hash join fast",        # heavy on q0 terms
+        "merge sort window",               # mixes q0 and q2
+        "scan scan scan slow filter",      # q1
+        "nothing relevant here at all",
+        "join",                            # short doc, q0
+        "window window sort batch batch",  # q2
+    ]
+    queries = {0: "hash join", 1: "slow scan", 2: "window batch"}
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "text": texts})
+    got = (bm25_topk(ray.data.from_pandas(df).repartition(3), queries,
+                     k=3).to_pandas()
+           .sort_values(["query_id", "rank"], ignore_index=True))
+
+    toks = [t.split() for t in texts]
+    N = len(texts)
+    avgdl = sum(len(t) for t in toks) / N
+    k1, b = 1.2, 0.75
+
+    def naive(q):
+        terms = q.split()
+        dfreq = {t: sum(t in tk for tk in toks) for t in terms}
+        out = []
+        for d, tk in enumerate(toks):
+            s = 0.0
+            for t in terms:
+                tf = tk.count(t)
+                if tf:
+                    idf = math.log((N - dfreq[t] + 0.5)
+                                   / (dfreq[t] + 0.5) + 1.0)
+                    s += idf * (tf * (k1 + 1.0)) / (
+                        tf + k1 * (1.0 - b + b * len(tk) / avgdl))
+            if s > 0:
+                out.append((round(s, 6), d))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return out[:3]
+
+    for qid, q in queries.items():
+        want = naive(q)
+        part = got[got["query_id"] == qid]
+        assert list(part["doc_id"]) == [d for _s, d in want], qid
+        assert list(part["score"]) == [s for s, _d in want], qid
+        assert list(part["rank"]) == list(range(1, len(want) + 1)), qid
