@@ -1683,6 +1683,65 @@ select id as doc_id, cast(min(r) as bigint) as comp
 from cc group by id"""
 
 
+def q_cluster_representatives(sf_dir: str):
+    """Representative selection per near-dup cluster — the step after
+    clustering in a real dedup pipeline: instead of min-id keep-first,
+    keep the HIGHEST-QUALITY doc of each component (here: most tokens,
+    doc_id tie-break) and report the cluster size.  Composition of
+    jaccard_pairs → star connected components → token stats → per-comp
+    arg-max; the per-comp step runs on the keys-sized label table, the
+    corpus never re-shuffles."""
+    from abslog_ray.functions.text import token_stats_batch
+    from abslog_ray.stages.dedup import jaccard_pairs
+    from abslog_ray.stages.join import bucket_join
+
+    pairs = jaccard_pairs(_docs(sf_dir), n=3, tau=0.5)
+    labels = _cluster_labels(pairs, _docs(sf_dir))
+    toks = _docs(sf_dir).map_batches(token_stats_batch,
+                                     batch_format="pyarrow").map_batches(
+        lambda t: t.drop_columns(["n_uniq_tokens"]),
+        batch_format="pyarrow")
+    j = bucket_join(labels, toks, on="doc_id", how="inner", n_buckets=8)
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_tokens", "doc_id"],
+                            ascending=[False, True], kind="mergesort")
+        top = df.iloc[0]
+        return pd.DataFrame({
+            "comp": np.array([top["comp"]], dtype=np.int64),
+            "rep_doc_id": np.array([top["doc_id"]], dtype=np.int64),
+            "n_docs": np.array([len(df)], dtype=np.int64),
+            "rep_n_tokens": np.array([top["n_tokens"]], dtype=np.int64),
+        })
+
+    return j.groupby("comp").map_groups(rep, batch_format="pandas")
+
+
+SQL_CLUSTER_REPRESENTATIVES = f"""
+with recursive p as ({SQL_JACCARD_PAIRS}),
+e as (select doc_a as a, doc_b as b from p
+      union all select doc_b as a, doc_a as b from p),
+cc(id, r) as (
+  select doc_id, doc_id from documents
+  union
+  select cc.id, e.b from cc join e on e.a = cc.r),
+lab as (select id as doc_id, cast(min(r) as bigint) as comp
+        from cc group by id),
+tk as (select doc_id,
+  cast(len(list_filter(string_split_regex(text, '\\s+'),
+                       x -> x <> '')) as bigint) as n_tokens
+  from documents),
+rk as (
+  select lab.comp, lab.doc_id, tk.n_tokens,
+    row_number() over (partition by lab.comp
+                       order by tk.n_tokens desc, lab.doc_id) as rn,
+    count(*) over (partition by lab.comp) as n_docs
+  from lab join tk on tk.doc_id = lab.doc_id)
+select comp, doc_id as rep_doc_id, cast(n_docs as bigint) as n_docs,
+  n_tokens as rep_n_tokens
+from rk where rn = 1"""
+
+
 def _canon_jac(t: pa.Table) -> pa.Table:
     return pa.table({
         "doc_a": pc.cast(t["doc_a"], pa.int64()),
@@ -4891,6 +4950,8 @@ QUERIES = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "cluster_representatives": (q_cluster_representatives,
+                                SQL_CLUSTER_REPRESENTATIVES),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_DUPES),
     "langid": (q_langid, SQL_LANGID),

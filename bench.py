@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "gap_by_transition", "vocab_overlap", "zipf_slope_by_lang",
     "ivf_ann_indexed", "minhash_dupes_indexed", "near_dup_delta",
     "substring_pairs", "clicks_after_purchase", "pack_sequences",
-    "bpe_token_counts", "bm25_topk",
+    "bpe_token_counts", "bm25_topk", "cluster_representatives",
     # round-4 breadth
     "top_revenue_orders", "user_cumulative", "nearest_centroid",
     "regional_revenue", "funnel_users", "distinct_users_daily",
