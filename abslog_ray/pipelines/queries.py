@@ -2546,6 +2546,34 @@ select doc_id, text, lang, source, n_chars from documents
 where ({_LCG_SQL.format(seed=0)}) % 1000 < {SAMPLE_PERMILLE}"""
 
 
+def q_training_order(sf_dir: str):
+    """Deterministic epoch shuffle: each doc's 0-based position in the
+    permutation ordered by (lcg_hash(doc_id), doc_id) — reproducible on
+    any cluster shape and in SQL.  Distributed enumerate: hash top-bits
+    bucket → per-bucket counts → driver prefix offsets (O(buckets)) →
+    per-bucket local rank; one keyed shuffle, no global sort (see
+    stages.sample.shuffle_rank)."""
+    from abslog_ray.stages.sample import shuffle_rank
+
+    out = shuffle_rank(_docs(sf_dir), id_col="doc_id", seed=0,
+                       n_buckets=16)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "pos": df["pos"].astype(np.int64),
+        })
+
+    return out.map_batches(canon, batch_format="pandas")
+
+
+SQL_TRAINING_ORDER = f"""
+select doc_id,
+  cast(row_number() over (order by {_LCG_SQL.format(seed=0)}, doc_id) - 1
+       as bigint) as pos
+from documents"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Fixed-size uniform sample per language: the 20 docs with the
     smallest (lcg_hash(doc_id), doc_id) per ``lang`` — equal-size strata
@@ -4977,6 +5005,7 @@ QUERIES = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "training_order": (q_training_order, SQL_TRAINING_ORDER),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "rolling_hits": (q_rolling_hits, SQL_ROLLING_HITS),

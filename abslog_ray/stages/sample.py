@@ -148,3 +148,62 @@ def pack_sequences(ds, budget: int, n_streams: int = 8,
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby(BUCKET_COL).map_groups(
         lambda df: pack_stream(df), batch_format="pandas")
+
+
+def shuffle_rank(ds, id_col: str = "doc_id", seed: int = 0,
+                 n_buckets: int = 32):
+    """Deterministic global training-order shuffle: every row gets its
+    0-based position in the permutation ordered by
+    (lcg_hash(id, seed), id) — the reproducible epoch shuffle a training
+    pipeline needs (same order on any cluster shape, across resumes, and
+    in the SQL mirror's ``row_number() over (order by ...)``).
+
+    Distributed enumerate, no global sort: the hash's TOP bits pick a
+    bucket, so bucket index ranges are already ordered (every hash in
+    bucket b sorts before every hash in bucket b+1); per-bucket counts
+    (keys-sized, one tiny driver pull) prefix-sum into bucket offsets,
+    and each bucket ranks locally by (hash, id) — one keyed shuffle
+    total, O(n_buckets) driver state."""
+    import ray
+
+    from abslog_ray.stages.gaps import BUCKET_COL
+
+    # _LCG_M is 2**31-ish; carve ordered buckets from the hash range
+    width = (_LCG_M + n_buckets - 1) // n_buckets
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = lcg_hash(ids, seed)
+        return pa.table({
+            id_col: t[id_col],
+            "__h": pa.array(h.astype(np.int64)),
+            BUCKET_COL: pa.array((h // width).astype(np.int64)),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        b = t[BUCKET_COL].to_numpy(zero_copy_only=False)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    cnt = (tagged.map_batches(bucket_counts, batch_format="pyarrow")
+           .to_pandas().groupby("b")["c"].sum())
+    offsets = np.zeros(n_buckets, dtype=np.int64)
+    sizes = np.zeros(n_buckets, dtype=np.int64)
+    sizes[cnt.index.to_numpy()] = cnt.to_numpy()
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df[BUCKET_COL].iloc[0])
+        off = ray.get(off_ref)[b]
+        order = np.lexsort((df[id_col].to_numpy(), df["__h"].to_numpy()))
+        pos = np.empty(len(df), dtype=np.int64)
+        pos[order] = off + np.arange(len(df), dtype=np.int64)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "pos": pos})
+
+    return tagged.groupby(BUCKET_COL).map_groups(rank_bucket,
+                                                 batch_format="pandas")

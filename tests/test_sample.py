@@ -157,3 +157,25 @@ def test_pack_sequences_greedy_semantics(ray_session):
     tot = got.groupby(["stream", "pack"])["n_tokens"].agg(["sum", "size"])
     bad = tot[(tot["sum"] > 150) & (tot["size"] > 1)]
     assert bad.empty
+
+
+def test_shuffle_rank_is_exact_permutation(ray_session):
+    """shuffle_rank == a local argsort over (lcg_hash, id): positions are
+    a 0..n-1 permutation, identical under repartitioning, bucket
+    boundaries exact (hash top-bits ordering)."""
+    from abslog_ray.stages.sample import lcg_hash, shuffle_rank
+    ids = np.arange(0, 700, 7, dtype=np.int64)       # 100 docs, gappy ids
+    df = pd.DataFrame({"doc_id": ids})
+    h = lcg_hash(ids, seed=0)
+    want_order = np.lexsort((ids, h))
+    want_pos = np.empty(len(ids), dtype=np.int64)
+    want_pos[want_order] = np.arange(len(ids))
+    want = dict(zip(ids, want_pos))
+
+    for parts in (1, 5):
+        got = (shuffle_rank(ray.data.from_pandas(df).repartition(parts),
+                            n_buckets=8)
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        assert sorted(got["pos"]) == list(range(len(ids)))
+        assert all(want[d] == p for d, p in zip(got["doc_id"],
+                                                got["pos"])), parts
