@@ -1342,6 +1342,100 @@ select doc_id, n_chars,
 from tk"""
 
 
+def q_source_mixture(sf_dir: str):
+    """Per-source data-mixture report — the table a training run's data
+    card starts from: docs, token mass, mean length, mean stopword
+    ratio, and EXACT-dup count (docs whose text appeared under a smaller
+    doc_id, across ALL sources) per source.  One per-doc stats pass
+    (md5 content fp riding along), a keys-sized min-id-per-fp aggregate,
+    one fp-keyed join to flag dups, then a sources-sized rollup."""
+    import hashlib
+
+    from abslog_ray.functions.text import STOPWORDS, _tokens_with_parents
+    from abslog_ray.stages.aggregate import hash_aggregate
+    from abslog_ray.stages.join import bucket_join
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parents = _tokens_with_parents(batch["text"])
+        n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+        is_stop = np.isin(flat, np.array(STOPWORDS))
+        n_stop = np.bincount(parents[is_stop], minlength=n).astype(np.int64)
+        stop_ratio = np.round(
+            np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0),
+            6)
+        fp = batch["text"].to_pandas().map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_tokens": pa.array(n_tokens),
+            "stop_ratio": pa.array(stop_ratio),
+            "fp": pa.array(fp, pa.string()),
+        })
+
+    stats = docs.map_batches(per_doc,
+                             batch_format="pyarrow").materialize()
+    mins = hash_aggregate(stats, ["fp"], {"first_id": ("doc_id", "min")})
+    j = bucket_join(stats, mins, on="fp", how="inner", n_buckets=8)
+
+    def mark(t: pa.Table) -> pa.Table:
+        dup = (t["doc_id"].to_numpy(zero_copy_only=False)
+               != t["first_id"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "source": t["source"],
+            "n_tokens": t["n_tokens"],
+            "stop_ratio": t["stop_ratio"],
+            "dup": pa.array(dup.astype(np.int64)),
+        })
+
+    agg = hash_aggregate(
+        j.map_batches(mark, batch_format="pyarrow"), ["source"],
+        {"n_docs": ("*", "count"), "sum_tokens": ("n_tokens", "sum"),
+         "sum_stop": ("stop_ratio", "sum"), "n_dups": ("dup", "sum")})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        st = t["sum_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "sum_tokens": pc.cast(t["sum_tokens"], pa.int64()),
+            "mean_tokens": pa.array(np.round(st * 1.0 / nd, 6)),
+            "mean_stop_ratio": pa.array(np.round(
+                t["sum_stop"].to_numpy(zero_copy_only=False) / nd, 6)),
+            "n_dups": pc.cast(t["n_dups"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SOURCE_MIXTURE = rf"""
+with t as (
+  select doc_id, source,
+    cast(len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '')) as bigint) as n_tokens,
+    round(cast(len(list_filter(
+        list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+        x -> x in {_STOP_SQL})) as bigint) * 1.0
+      / greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '')), 1), 6) as stop_ratio,
+    min(doc_id) over (partition by md5(text)) as first_id
+  from documents)
+select source,
+  count(*) as n_docs,
+  cast(sum(n_tokens) as bigint) as sum_tokens,
+  round(sum(n_tokens) * 1.0 / count(*), 6) as mean_tokens,
+  round(sum(stop_ratio) / count(*), 6) as mean_stop_ratio,
+  cast(sum(case when doc_id <> first_id then 1 else 0 end) as bigint)
+    as n_dups
+from t group by source"""
+
+
 def q_fingerprint(sf_dir: str):
     from abslog_ray.functions.text import fingerprint_batch
     return _docs(sf_dir).map_batches(fingerprint_batch,
@@ -5006,6 +5100,7 @@ QUERIES = {
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "training_order": (q_training_order, SQL_TRAINING_ORDER),
+    "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "rolling_hits": (q_rolling_hits, SQL_ROLLING_HITS),

@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "ivf_ann_indexed", "minhash_dupes_indexed", "near_dup_delta",
     "substring_pairs", "clicks_after_purchase", "pack_sequences",
     "bpe_token_counts", "bm25_topk", "cluster_representatives",
-    "training_order",
+    "training_order", "source_mixture",
     # round-4 breadth
     "top_revenue_orders", "user_cumulative", "nearest_centroid",
     "regional_revenue", "funnel_users", "distinct_users_daily",
